@@ -1,0 +1,210 @@
+"""Device-side NMS and detection filtering (static shapes, pure jnp).
+
+Behavioral contract (SURVEY.md §3 "Inference/eval"; reference:
+keras_retinanet/layers/filter_detections.py ~L1-220):
+
+- per-class: score threshold 0.05 (strict >), greedy IoU-0.5 NMS
+  (tf.image.non_max_suppression semantics: sort by score, ties broken by
+  lower index, EXACT continuous IoU), up to max_detections kept per class;
+- outputs across classes merged by a global top-k of size max_detections
+  (300), padded with -1 in boxes/scores/labels.
+
+The reference runs tf.image.non_max_suppression inside tf.map_fn over the
+batch — a serialized host-style loop (SURVEY.md §4.2 calls it the latency
+sink). Here NMS is formulated as a fixpoint of parallel suppression sweeps
+("self-suppression", the same trick TF's TPU non_max_suppression_padded
+uses): after sorting by score, box i survives iff no surviving higher-scored
+box overlaps it above the threshold. Iterating the parallel sweep converges
+to EXACT greedy NMS (each sweep finalizes at least one suppression chain
+level); convergence is usually 2-5 sweeps, bounded by lax.while_loop.
+
+Everything is fixed-shape: candidates are pre-trimmed to `pre_nms_top_k`
+per class so the whole pipeline jits once per shape bucket and never leaves
+the device. A Pallas kernel (ops/pallas_nms.py) provides the optimized path;
+this module is the reference implementation it is validated against.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tdnet.ops.boxes import box_iou
+
+__all__ = ["non_max_suppression", "filter_detections", "Detections"]
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray  # (..., max_detections, 4), padded -1
+    scores: jnp.ndarray  # (..., max_detections), padded -1
+    labels: jnp.ndarray  # (..., max_detections) int32, padded -1
+
+
+def non_max_suppression(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float = 0.5,
+    score_threshold: float = float("-inf"),
+) -> jnp.ndarray:
+    """Greedy NMS keep-mask over (N, 4) boxes / (N,) scores -> (N,) bool.
+
+    Matches tf.image.non_max_suppression selection semantics (exact IoU,
+    score-descending order, stable ties) without max_output_size — callers
+    apply their own top-k afterwards, which commutes with greedy NMS since
+    the kept set is selected in score order.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores, stable=True)
+    sboxes = jnp.take(boxes, order, axis=0)
+    sscores = jnp.take(scores, order)
+
+    valid = sscores > score_threshold
+
+    iou = box_iou(sboxes, sboxes, mode="exact")
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    # suppress[i, j]: i (higher score) can suppress j
+    suppress = (iou > iou_threshold) & (row < col) & valid[:, None]
+
+    def cond(carry):
+        keep, prev = carry
+        return jnp.any(keep != prev)
+
+    def body(carry):
+        keep, _ = carry
+        # j survives iff no currently-kept i suppresses it
+        suppressed = jnp.any(suppress & keep[:, None], axis=0)
+        return (valid & ~suppressed, keep)
+
+    keep0 = valid
+    keep, _ = jax.lax.while_loop(
+        cond, body, (valid & ~jnp.any(suppress, axis=0), keep0)
+    )
+
+    # scatter back to original order
+    keep_orig = jnp.zeros((n,), dtype=bool).at[order].set(keep)
+    return keep_orig
+
+
+def _per_class_candidates(
+    boxes, scores_c, score_threshold, iou_threshold, pre_nms_top_k, max_detections
+):
+    """NMS one class: returns (max_detections,) scores and indices into boxes."""
+    n = boxes.shape[0]
+    k = min(pre_nms_top_k, n)
+
+    masked = jnp.where(scores_c > score_threshold, scores_c, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(masked, k)
+    cand_boxes = jnp.take(boxes, top_idx, axis=0)
+
+    keep = non_max_suppression(
+        cand_boxes, top_scores, iou_threshold=iou_threshold, score_threshold=-jnp.inf
+    )
+    keep = keep & (top_scores > score_threshold)
+
+    kept_scores = jnp.where(keep, top_scores, -jnp.inf)
+    # per-class cap (reference: max_output_size=max_detections in tf NMS)
+    sel_scores, sel = jax.lax.top_k(kept_scores, min(max_detections, k))
+    sel_idx = jnp.take(top_idx, sel)
+    return sel_scores, sel_idx
+
+
+def filter_detections(
+    boxes: jnp.ndarray,
+    classification: jnp.ndarray,
+    class_specific_filter: bool = True,
+    nms: bool = True,
+    score_threshold: float = 0.05,
+    max_detections: int = 300,
+    nms_threshold: float = 0.5,
+    pre_nms_top_k: int = 1024,
+) -> Detections:
+    """Filter decoded detections for ONE image (reference: filter_detections()).
+
+    boxes: (N, 4) decoded+clipped boxes; classification: (N, K) scores.
+    Returns fixed-shape Detections padded with -1. Batch via jax.vmap.
+    """
+    num_classes = classification.shape[1]
+
+    if class_specific_filter:
+        if nms:
+            per_class = [
+                _per_class_candidates(
+                    boxes,
+                    classification[:, c],
+                    score_threshold,
+                    nms_threshold,
+                    pre_nms_top_k,
+                    max_detections,
+                )
+                for c in range(num_classes)
+            ]
+            all_scores = jnp.concatenate([s for s, _ in per_class])
+            all_idx = jnp.concatenate([i for _, i in per_class])
+            all_labels = jnp.concatenate(
+                [
+                    jnp.full((s.shape[0],), c, dtype=jnp.int32)
+                    for c, (s, _) in enumerate(per_class)
+                ]
+            )
+        else:
+            # every (anchor, class) pair above threshold competes in the
+            # final top-k; a flat top-(300*K) then top-300 merge is exactly
+            # the reference's concat-then-top_k.
+            flat = classification.reshape(-1)
+            flat = jnp.where(flat > score_threshold, flat, -jnp.inf)
+            k = min(max_detections * max(1, num_classes), flat.shape[0])
+            all_scores, flat_idx = jax.lax.top_k(flat, k)
+            all_idx = flat_idx // num_classes
+            all_labels = (flat_idx % num_classes).astype(jnp.int32)
+    else:
+        # reference: per-anchor max score + argmax label, one shared NMS
+        max_scores = jnp.max(classification, axis=1)
+        arg_labels = jnp.argmax(classification, axis=1).astype(jnp.int32)
+        if nms:
+            thr = jnp.where(max_scores > score_threshold, max_scores, -jnp.inf)
+            k = min(pre_nms_top_k, thr.shape[0])
+            cand_scores, cand_idx = jax.lax.top_k(thr, k)
+            cand_boxes = jnp.take(boxes, cand_idx, axis=0)
+            keep = non_max_suppression(
+                cand_boxes, cand_scores, iou_threshold=nms_threshold,
+                score_threshold=-jnp.inf,
+            )
+            keep = keep & (cand_scores > score_threshold)
+            all_scores = jnp.where(keep, cand_scores, -jnp.inf)
+            all_idx = cand_idx
+            all_labels = jnp.take(arg_labels, cand_idx)
+        else:
+            all_scores = jnp.where(max_scores > score_threshold, max_scores, -jnp.inf)
+            all_idx = jnp.arange(max_scores.shape[0], dtype=jnp.int32)
+            all_labels = arg_labels
+
+    # global top-k merge across classes (reference: final top_k of 300)
+    out_k = min(max_detections, all_scores.shape[0])
+    top_scores, sel = jax.lax.top_k(all_scores, out_k)
+    sel_idx = jnp.take(all_idx, sel)
+    sel_labels = jnp.take(all_labels, sel)
+    sel_boxes = jnp.take(boxes, sel_idx, axis=0)
+
+    valid = top_scores > -jnp.inf
+    out_boxes = jnp.where(valid[:, None], sel_boxes, -1.0)
+    out_scores = jnp.where(valid, top_scores, -1.0)
+    out_labels = jnp.where(valid, sel_labels, -1).astype(jnp.int32)
+
+    pad = max_detections - out_k
+    if pad > 0:
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)), constant_values=-1.0)
+        out_scores = jnp.pad(out_scores, ((0, pad),), constant_values=-1.0)
+        out_labels = jnp.pad(out_labels, ((0, pad),), constant_values=-1)
+
+    return Detections(out_boxes, out_scores, out_labels)
+
+
+def batched_filter_detections(boxes, classification, **kwargs) -> Detections:
+    """vmap of :func:`filter_detections` over the batch (replaces the
+    reference's tf.map_fn — runs fully parallel on-device)."""
+    fn = functools.partial(filter_detections, **kwargs)
+    return jax.vmap(fn)(boxes, classification)
