@@ -1,0 +1,88 @@
+"""tdnet benchmark: batched 800x1333-class inference, images/sec/chip.
+
+The north-star metric (BASELINE.json:2): RetinaNet ResNet-50+FPN batched
+document-page inference with device-side decode+NMS, on one TPU chip.
+The reference publishes no numbers (BASELINE.md), so the only external
+anchor is the RetinaNet paper's ~122 ms/img on an M40 (~8.2 img/s);
+vs_baseline is measured against that.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Env overrides: BENCH_BATCH (default 32), BENCH_ITERS (default 10),
+BENCH_DTYPE (bf16|f32, default bf16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tdnet.models.detect import detections_from_outputs
+    from tdnet.models.retinanet import RetinaNet
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+        else jnp.float32
+    )
+    bucket = (800, 1344)  # landscape document-page bucket (data/generator.py)
+
+    model = RetinaNet(num_classes=1, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    init_images = jnp.zeros((1,) + bucket + (3,), jnp.float32)
+    variables = jax.jit(model.init)(rng, init_images)
+
+    @jax.jit
+    def pipeline(variables, images):
+        outputs = model.apply(variables, images)
+        return detections_from_outputs(outputs, bucket, pre_nms_top_k=1024)
+
+    x = np.random.RandomState(0).uniform(-116, 139, (batch,) + bucket + (3,))
+    images = jax.device_put(jnp.asarray(x, jnp.float32))
+
+    # compile + warmup
+    det = pipeline(variables, images)
+    jax.block_until_ready(det)
+    det = pipeline(variables, images)
+    jax.block_until_ready(det)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        det = pipeline(variables, images)
+        jax.block_until_ready(det)
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    n_chips = max(1, len(set(d.id for d in jax.devices())))
+    ips = batch / dt / n_chips
+
+    paper_m40_ips = 1.0 / 0.122  # RetinaNet-50-800, Lin et al. 2017
+    result = {
+        "metric": "retinanet_resnet50_800x1333_batched_inference",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / paper_m40_ips, 2),
+        "batch": batch,
+        "dtype": "bf16" if dtype == jnp.bfloat16 else "f32",
+        "median_step_ms": round(dt * 1000, 2),
+        "device": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

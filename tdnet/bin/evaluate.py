@@ -1,0 +1,116 @@
+"""Evaluation CLI (reference: keras_retinanet/bin/evaluate.py).
+
+    python -m tdnet.bin.evaluate csv annotations.csv classes.csv model.tdn
+
+Prints per-class AP in the reference's format and the (weighted) mAP.
+`model` may be a .tdn bundle or an orbax snapshot directory (then
+--backbone/--num-classes describe the architecture).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from tdnet.bin._common import add_dataset_args, anchor_params_from_args, make_dataset
+from tdnet.models import backbone as backbone_registry
+from tdnet.models.io import anchor_params_from_meta, load_model
+from tdnet.train.checkpoint import Checkpointer
+from tdnet.train.predictor import Predictor
+from tdnet.train.step import create_train_state
+from tdnet.utils.eval import evaluate
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluate a tdnet RetinaNet.")
+    add_dataset_args(
+        parser, trailing=[("model", ".tdn bundle or snapshot directory")]
+    )
+    parser.add_argument("--backbone", default="resnet50", type=str)
+    parser.add_argument("--score-threshold", default=0.05, type=float)
+    parser.add_argument("--iou-threshold", default=0.5, type=float)
+    parser.add_argument("--max-detections", default=100, type=int)
+    parser.add_argument("--config", default=None, type=str)
+    parser.add_argument("--image-min-side", default=800, type=int)
+    parser.add_argument("--image-max-side", default=1333, type=int)
+    parser.add_argument("--bf16", action="store_true")
+    return parser.parse_args(argv)
+
+
+def load_any_model(path, args, num_classes, dtype):
+    """Load .tdn bundle or orbax snapshot dir -> (model, variables, anchors)."""
+    if os.path.isdir(path):
+        bb = backbone_registry(args.backbone)
+        model = bb.retinanet(num_classes, dtype=dtype)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (1, 64, 64, 3)
+        )
+        state = Checkpointer(path).restore(state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model, variables, anchor_params_from_args(args), None
+    model, variables, meta = load_model(path, dtype=dtype)
+    anchors = anchor_params_from_args(args) or anchor_params_from_meta(meta)
+    return model, variables, anchors, meta
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    dataset = make_dataset(args, "train")
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    model, variables, anchors, meta = load_any_model(
+        args.model, args, dataset.num_classes(), dtype
+    )
+    inference = (meta or {}).get("inference", {})
+
+    predictor = Predictor(
+        model,
+        variables,
+        anchor_params=anchors,
+        min_side=args.image_min_side,
+        max_side=args.image_max_side,
+        preprocess_mode=inference.get("preprocess_mode", "caffe"),
+        score_threshold=args.score_threshold,
+        nms_threshold=inference.get("nms_threshold", 0.5),
+        nms=inference.get("nms", True),
+        class_specific_filter=inference.get("class_specific_filter", True),
+    )
+
+    aps = evaluate(
+        dataset,
+        predictor,
+        iou_threshold=args.iou_threshold,
+        score_threshold=args.score_threshold,
+        max_detections=args.max_detections,
+    )
+
+    # reference output format (bin/evaluate.py main tail)
+    total_instances = 0
+    weighted = 0.0
+    simple_sum = 0.0
+    present = 0
+    for label, (ap, n) in sorted(aps.items()):
+        print(
+            f"{n} instances of class {dataset.label_to_name(label)} "
+            f"with average precision: {ap:.4f}"
+        )
+        total_instances += n
+        weighted += ap * n
+        if n > 0:
+            simple_sum += ap
+            present += 1
+
+    if total_instances == 0:
+        print("No test instances found.")
+        return 1
+    print(f"mAP using the weighted average of precisions among classes: "
+          f"{weighted / total_instances:.4f}")
+    print(f"mAP: {simple_sum / max(present, 1):.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,238 @@
+"""Bucketed batch generator (host side).
+
+The reference's Generator (preprocessing/generator.py ~L1-360) groups images
+by aspect ratio and pads each batch to its own max shape — dynamic shapes
+that would recompile XLA every step. tdnet replaces that with STATIC SHAPE
+BUCKETS (SURVEY.md §8 stage 5): every resized image is padded top-left into
+one of a fixed set of canvases, so the whole run compiles once per bucket.
+
+With the reference's resize rule (min side -> 800 capped by max side 1333),
+every image fits one of two canvases: (800, 1344) landscape or (1344, 800)
+portrait (dims rounded up to multiples of 64 for friendlier XLA tiling).
+Ground truth is emitted as fixed-size padded arrays + validity mask; target
+assignment happens ON DEVICE inside the jitted train step (ops/targets.py),
+not here — the host stays cheap (decode + warp + resize only).
+
+Batch dict layout (everything float32/int32, ready for device_put):
+  images  (B, H, W, 3)  caffe-normalized BGR, zero-padded
+  gt_boxes (B, M, 4), gt_labels (B, M), gt_mask (B, M)
+  image_hw (B, 2) actual (pre-pad) sizes;  scale (B,) resize scales
+  indices  (B,) dataset indices (for eval bookkeeping)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tdnet.data.image import preprocess_image, resize_image
+from tdnet.data.transform import (
+    TransformParameters,
+    adjust_transform_for_image,
+    apply_transform,
+    random_transform_generator,
+    transform_aabb,
+)
+
+__all__ = ["LoaderConfig", "BatchLoader", "default_buckets", "pick_bucket"]
+
+
+def _round_up(x: int, m: int = 64) -> int:
+    return int(math.ceil(x / m) * m)
+
+
+def default_buckets(min_side: int = 800, max_side: int = 1333) -> List[Tuple[int, int]]:
+    """Two canvases cover every aspect-preserving resize: landscape and
+    portrait. Dims rounded up to 64 so P3..P7 tile cleanly."""
+    lo, hi = _round_up(min_side), _round_up(max_side)
+    if lo == hi:
+        return [(lo, hi)]
+    return [(lo, hi), (hi, lo)]
+
+
+def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]]) -> Tuple[int, int]:
+    """Smallest-area bucket that fits (h, w); falls back to the max canvas."""
+    fitting = [b for b in buckets if b[0] >= h and b[1] >= w]
+    if fitting:
+        return min(fitting, key=lambda b: b[0] * b[1])
+    return max(buckets, key=lambda b: b[0] * b[1])
+
+
+@dataclass
+class LoaderConfig:
+    batch_size: int = 1
+    min_side: int = 800
+    max_side: int = 1333
+    max_boxes: int = 64  # GT padding (documents rarely exceed a few tables)
+    preprocess_mode: str = "caffe"
+    buckets: Optional[List[Tuple[int, int]]] = None
+    shuffle: bool = True
+    seed: int = 0
+    # augmentation (reference bin/train.py --random-transform defaults)
+    random_transform: bool = False
+    transform_parameters: TransformParameters = field(default_factory=TransformParameters)
+
+    def resolved_buckets(self) -> List[Tuple[int, int]]:
+        return self.buckets or default_buckets(self.min_side, self.max_side)
+
+
+class BatchLoader:
+    """Iterates fixed-shape batches over a Dataset (see csv_dataset.CSVDataset
+    for the protocol). Groups epoch indices by bucket so batches are
+    shape-homogeneous (the TPU analog of the reference's aspect-ratio
+    grouping)."""
+
+    def __init__(self, dataset, config: LoaderConfig):
+        self.dataset = dataset
+        self.config = config
+        self._rng = np.random.RandomState(config.seed)
+        if config.random_transform:
+            # reference --random-transform defaults (bin/train.py)
+            self._transform_gen = random_transform_generator(
+                min_rotation=-0.1,
+                max_rotation=0.1,
+                min_translation=(-0.1, -0.1),
+                max_translation=(0.1, 0.1),
+                min_shear=-0.1,
+                max_shear=0.1,
+                min_scaling=(0.9, 0.9),
+                max_scaling=(1.1, 1.1),
+                flip_x_chance=0.5,
+                prng=np.random.RandomState(config.seed + 1),
+            )
+        else:
+            self._transform_gen = None
+        # cache: dataset index -> bucket, computed lazily on first epoch
+        self._bucket_of: dict = {}
+
+    @property
+    def num_classes(self) -> int:
+        return self.dataset.num_classes()
+
+    def steps_per_epoch(self) -> int:
+        return math.ceil(self.dataset.size() / self.config.batch_size)
+
+    # ------------------------------------------------------------------ load
+
+    def _load_entry(self, index: int):
+        """Load + augment + resize + normalize one image; returns
+        (image f32, boxes (m,4) f32, labels (m,) i32, scale)."""
+        image = self.dataset.load_image(index)
+        ann = self.dataset.load_annotations(index)
+        boxes = ann["bboxes"].astype(np.float64).copy()
+        labels = ann["labels"].astype(np.int32).copy()
+
+        # drop degenerate/out-of-image boxes (reference: filter_annotations)
+        if len(boxes):
+            h, w = image.shape[:2]
+            keep = (
+                (boxes[:, 2] > boxes[:, 0])
+                & (boxes[:, 3] > boxes[:, 1])
+                & (boxes[:, 0] >= 0)
+                & (boxes[:, 1] >= 0)
+                & (boxes[:, 2] <= w)
+                & (boxes[:, 3] <= h)
+            )
+            boxes, labels = boxes[keep], labels[keep]
+
+        if self._transform_gen is not None:
+            t = adjust_transform_for_image(
+                next(self._transform_gen),
+                image,
+                self.config.transform_parameters.relative_translation,
+            )
+            image = apply_transform(t, image, self.config.transform_parameters)
+            for i in range(len(boxes)):
+                boxes[i, :] = transform_aabb(t, boxes[i, :])
+            # re-clip after warp
+            h, w = image.shape[:2]
+            boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w)
+            boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h)
+
+        image = preprocess_image(image, mode=self.config.preprocess_mode)
+        image, scale = resize_image(
+            image, min_side=self.config.min_side, max_side=self.config.max_side
+        )
+        boxes = boxes * scale
+        return image.astype(np.float32), boxes.astype(np.float32), labels, scale
+
+    def _assemble(self, entries, indices, bucket):
+        bh, bw = bucket
+        b = len(entries)
+        m = self.config.max_boxes
+        batch = {
+            "images": np.zeros((b, bh, bw, 3), dtype=np.float32),
+            "gt_boxes": np.zeros((b, m, 4), dtype=np.float32),
+            "gt_labels": np.zeros((b, m), dtype=np.int32),
+            "gt_mask": np.zeros((b, m), dtype=bool),
+            "image_hw": np.zeros((b, 2), dtype=np.float32),
+            "scale": np.zeros((b,), dtype=np.float32),
+            "indices": np.asarray(indices, dtype=np.int32),
+        }
+        for i, (img, boxes, labels, scale) in enumerate(entries):
+            h, w = img.shape[:2]
+            batch["images"][i, :h, :w, :] = img  # top-left anchored (reference)
+            n = min(len(boxes), m)
+            if len(boxes) > m:
+                import warnings
+
+                warnings.warn(
+                    f"image has {len(boxes)} boxes; truncating to max_boxes={m}"
+                )
+            batch["gt_boxes"][i, :n] = boxes[:n]
+            batch["gt_labels"][i, :n] = labels[:n]
+            batch["gt_mask"][i, :n] = True
+            batch["image_hw"][i] = (h, w)
+            batch["scale"][i] = scale
+        return batch
+
+    # ------------------------------------------------------------ iteration
+
+    def _epoch_groups(self) -> List[Tuple[Tuple[int, int], List[int]]]:
+        """Group this epoch's indices by bucket (aspect ratio decides)."""
+        order = np.arange(self.dataset.size())
+        if self.config.shuffle:
+            self._rng.shuffle(order)
+        buckets = self.config.resolved_buckets()
+        groups: dict = {}
+        for idx in order:
+            idx = int(idx)
+            bkt = self._bucket_of.get(idx)
+            if bkt is None:
+                ar = self.dataset.image_aspect_ratio(idx)
+                # resized dims under the reference rule
+                if ar >= 1.0:
+                    h, w = self.config.min_side, min(
+                        self.config.max_side, int(round(self.config.min_side * ar))
+                    )
+                else:
+                    w, h = self.config.min_side, min(
+                        self.config.max_side, int(round(self.config.min_side / ar))
+                    )
+                bkt = pick_bucket(h, w, buckets)
+                self._bucket_of[idx] = bkt
+            groups.setdefault(bkt, []).append(idx)
+        return list(groups.items())
+
+    def __iter__(self) -> Iterator[dict]:
+        return self.epoch()
+
+    def epoch(self) -> Iterator[dict]:
+        """One pass over the dataset; final partial batch of each bucket is
+        repeated-padded to full batch_size (mask via `indices` uniqueness)."""
+        bs = self.config.batch_size
+        for bucket, idxs in self._epoch_groups():
+            for start in range(0, len(idxs), bs):
+                chunk = idxs[start : start + bs]
+                # pad final chunk to static batch size by repeating
+                while len(chunk) < bs:
+                    chunk = chunk + chunk[: bs - len(chunk)]
+                entries = [self._load_entry(i) for i in chunk]
+                yield self._assemble(entries, chunk, bucket)
+
+    def forever(self) -> Iterator[dict]:
+        while True:
+            yield from self.epoch()

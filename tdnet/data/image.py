@@ -1,0 +1,93 @@
+"""Host-side image IO and preprocessing.
+
+Behavioral contract (SURVEY.md §3 "Preprocessing"; reference:
+keras_retinanet/utils/image.py ~L1-230):
+
+- channel order BGR; caffe normalization: subtract mean
+  [103.939, 116.779, 123.68], NO scaling.
+- resize: scale = min_side/ image min side (800 default); if the max side
+  would exceed max_side (1333), scale = max_side / max side. cv2 bilinear.
+- detections are divided by `scale` on the host afterwards.
+
+Decode/augment/resize stay on the host (cv2/PIL is the right tool and the
+work overlaps device compute via the prefetcher); normalization is cheap and
+is ALSO exposed as a jnp function so the device-side fused path
+(normalize+pad inside the jitted step) can be used for batched inference
+(BASELINE.json north star: ingestion fuses into XLA ops).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+try:  # cv2 present in this image; PIL fallback for decode
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from PIL import Image
+
+__all__ = [
+    "CAFFE_MEAN_BGR",
+    "read_image_bgr",
+    "preprocess_image",
+    "compute_resize_scale",
+    "resize_image",
+]
+
+# reference: utils/image.py preprocess_image mode='caffe'
+CAFFE_MEAN_BGR = np.array([103.939, 116.779, 123.68], dtype=np.float32)
+
+
+def read_image_bgr(path) -> np.ndarray:
+    """Read an image into (H, W, 3) uint8-ish float32 BGR
+    (reference: utils/image.py read_image_bgr — PIL decode, RGB->BGR flip)."""
+    image = np.ascontiguousarray(Image.open(path).convert("RGB"))
+    return image[:, :, ::-1].astype(np.float32)
+
+
+def preprocess_image(x: np.ndarray, mode: str = "caffe") -> np.ndarray:
+    """Normalize a BGR float32 image in place-free fashion.
+
+    mode='caffe': subtract ImageNet BGR means, no scaling (the only mode the
+    reference's ResNet path uses). mode='tf': scale to [-1, 1].
+    """
+    x = x.astype(np.float32)
+    if mode == "caffe":
+        return x - CAFFE_MEAN_BGR
+    if mode == "tf":
+        return (x / 127.5) - 1.0
+    raise ValueError(f"unknown preprocessing mode {mode!r}")
+
+
+def compute_resize_scale(
+    image_shape: Tuple[int, ...], min_side: int = 800, max_side: int = 1333
+) -> float:
+    """Aspect-preserving scale (reference: utils/image.py compute_resize_scale)."""
+    rows, cols = image_shape[:2]
+    smallest_side = min(rows, cols)
+    scale = min_side / smallest_side
+    largest_side = max(rows, cols)
+    if largest_side * scale > max_side:
+        scale = max_side / largest_side
+    return scale
+
+
+def resize_image(img: np.ndarray, min_side: int = 800, max_side: int = 1333):
+    """Resize so min side == min_side (capped by max_side). Returns
+    (image, scale); boxes scale by the same factor
+    (reference: utils/image.py resize_image, cv2 bilinear)."""
+    scale = compute_resize_scale(img.shape, min_side=min_side, max_side=max_side)
+    if scale == 1.0:
+        return img, 1.0
+    if cv2 is not None:
+        img = cv2.resize(img, None, fx=scale, fy=scale)  # bilinear default
+    else:  # pragma: no cover
+        h, w = img.shape[:2]
+        out = Image.fromarray(img.astype(np.uint8)).resize(
+            (int(round(w * scale)), int(round(h * scale))), Image.BILINEAR
+        )
+        img = np.asarray(out, dtype=np.float32)
+    return img, scale

@@ -1,0 +1,105 @@
+"""ResNet-50/101/152 backbone with C3/C4/C5 taps (flax).
+
+Architecture matches the reference's vendored keras-resnet v1 bottleneck
+network exactly (reference: models/resnet.py ResNetBackbone + the external
+keras-resnet package it wraps), so Keras h5 weights map 1:1:
+
+- stem: explicit (3,3) zero-pad -> 7x7/2 conv (no bias) -> BN -> ReLU ->
+  3x3/2 max-pool with TF 'SAME' padding.
+- bottleneck blocks, stride on the FIRST 1x1 conv ("caffe style"), projection
+  shortcut on each stage's first block; stage strides 1,2,2,2 after the pool.
+- all BatchNorm frozen in inference mode (keras-resnet freeze_bn regime).
+
+TPU-first choices: NHWC layout, bfloat16 compute / float32 params (MXU-
+friendly), BN folded to multiply-add so XLA fuses it into the convs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tdnet.models.layers import FrozenBatchNorm
+
+__all__ = ["ResNet", "STAGE_SIZES"]
+
+STAGE_SIZES = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+
+
+class Bottleneck(nn.Module):
+    """1x1(/s) -> 3x3 -> 1x1(*4) bottleneck with post-activation residual."""
+
+    filters: int
+    stride: int = 1
+    projection: bool = False
+    dtype: Any = jnp.float32
+    freeze_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding="SAME" if k > 1 else "VALID",
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        bn = lambda name: FrozenBatchNorm(
+            frozen=self.freeze_bn, dtype=self.dtype, name=name
+        )
+
+        y = conv(self.filters, 1, self.stride, "conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = conv(self.filters, 3, 1, "conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = conv(self.filters * 4, 1, 1, "conv3")(y)
+        y = bn("bn3")(y)
+
+        if self.projection:
+            shortcut = conv(self.filters * 4, 1, self.stride, "conv_shortcut")(x)
+            shortcut = bn("bn_shortcut")(shortcut)
+        else:
+            shortcut = x
+        return nn.relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    """Returns (C3, C4, C5) feature maps at strides 8/16/32."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
+    freeze_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        x = x.astype(self.dtype)
+        # stem: explicit pad 3 + valid 7x7/2 (keras-resnet ZeroPadding2D(3));
+        # NOT 'SAME' — for even inputs SAME pads (2,3) and shifts by a pixel.
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
+        )(x)
+        x = nn.relu(FrozenBatchNorm(frozen=self.freeze_bn, dtype=self.dtype, name="bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        outputs = []
+        filters = 64
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            stride = 1 if stage == 0 else 2
+            for block in range(num_blocks):
+                x = Bottleneck(
+                    filters=filters,
+                    stride=stride if block == 0 else 1,
+                    projection=block == 0,
+                    dtype=self.dtype,
+                    freeze_bn=self.freeze_bn,
+                    name=f"stage{stage + 2}_block{block}",
+                )(x)
+            outputs.append(x)
+            filters *= 2
+
+        c3, c4, c5 = outputs[1], outputs[2], outputs[3]
+        return c3, c4, c5

@@ -1,0 +1,160 @@
+"""RetinaNet assembly: FPN + shared subnets (flax).
+
+Behavioral contract (SURVEY.md §3 "Model"; reference: models/retinanet.py
+~L1-350):
+
+- FPN: P5 = 1x1(C5, 256); P4 = 1x1(C4) + NearestUpsampleLike(P5);
+  P3 likewise; each of P3/P4/P5 then 3x3(256); P6 = 3x3 stride-2 on C5;
+  P7 = 3x3 stride-2 on ReLU(P6). All convs padding 'SAME' with bias.
+- Subnets: 4 x [3x3(256) + ReLU], kernel init Normal(0.01), zero bias,
+  WEIGHTS SHARED ACROSS PYRAMID LEVELS; classification head bias
+  PriorProbability(0.01), output 9*K channels; regression head 9*4.
+- Per-level outputs reshaped (B, H*W*A, *) and concatenated P3->P7 — the
+  exact anchor order of ops/anchors.anchors_for_shape.
+
+The classification output is returned as LOGITS (the sigmoid lives in the
+loss / inference path); the reference emits sigmoid probabilities — scores
+are identical after the inference-path sigmoid.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tdnet.models.layers import PriorProbability, resize_nearest_like
+from tdnet.models.resnet import STAGE_SIZES, ResNet
+
+__all__ = ["RetinaNet", "FPN", "ClassificationSubnet", "RegressionSubnet"]
+
+
+class FPN(nn.Module):
+    """Pyramid features P3..P7 from backbone taps C3/C4/C5."""
+
+    feature_size: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c3, c4, c5) -> Tuple[jnp.ndarray, ...]:
+        conv = lambda k, s, name: nn.Conv(
+            self.feature_size, (k, k), strides=(s, s), padding="SAME",
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+
+        p5 = conv(1, 1, "C5_reduced")(c5)
+        p5_up = resize_nearest_like(p5, c4.shape[1:3])
+        p5 = conv(3, 1, "P5")(p5)
+
+        p4 = conv(1, 1, "C4_reduced")(c4) + p5_up
+        p4_up = resize_nearest_like(p4, c3.shape[1:3])
+        p4 = conv(3, 1, "P4")(p4)
+
+        p3 = conv(1, 1, "C3_reduced")(c3) + p4_up
+        p3 = conv(3, 1, "P3")(p3)
+
+        p6 = conv(3, 2, "P6")(c5)
+        p7 = conv(3, 2, "P7")(nn.relu(p6))
+
+        return p3, p4, p5, p6, p7
+
+
+class _Subnet(nn.Module):
+    """4 x [3x3 conv + ReLU] tower + task head; one instance is applied to
+    every pyramid level, so the weights are shared (reference:
+    default_classification_model / default_regression_model)."""
+
+    out_channels: int
+    head_bias_init: Any
+    feature_size: int = 256
+    depth: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kinit = nn.initializers.normal(stddev=0.01)
+        for i in range(self.depth):
+            x = nn.Conv(
+                self.feature_size, (3, 3), padding="SAME",
+                kernel_init=kinit, bias_init=nn.initializers.zeros_init(),
+                dtype=self.dtype, param_dtype=jnp.float32, name=f"conv{i}",
+            )(x)
+            x = nn.relu(x)
+        x = nn.Conv(
+            self.out_channels, (3, 3), padding="SAME",
+            kernel_init=kinit, bias_init=self.head_bias_init,
+            dtype=self.dtype, param_dtype=jnp.float32, name="head",
+        )(x)
+        return x
+
+
+class ClassificationSubnet(_Subnet):
+    pass
+
+
+class RegressionSubnet(_Subnet):
+    pass
+
+
+class RetinaNet(nn.Module):
+    """Training-graph RetinaNet: images -> {regression, classification}.
+
+    Matches the reference training model's outputs
+    [regression (B,N,4), classification (B,N,K)] (reference: retinanet());
+    the inference path (decode/clip/NMS — reference: retinanet_bbox()) is
+    tdnet.models.detect.detections_from_outputs, kept outside the module
+    because anchors are trace-time constants of the (static) input shape.
+    """
+
+    num_classes: int
+    backbone_name: str = "resnet50"
+    num_anchors: int = 9
+    feature_size: int = 256
+    prior_probability: float = 0.01
+    dtype: Any = jnp.float32
+    freeze_bn: bool = True
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if self.backbone_name not in STAGE_SIZES:
+            raise ValueError(
+                f"unknown backbone {self.backbone_name!r}; "
+                f"available: {sorted(STAGE_SIZES)}"
+            )
+        c3, c4, c5 = ResNet(
+            stage_sizes=STAGE_SIZES[self.backbone_name],
+            dtype=self.dtype,
+            freeze_bn=self.freeze_bn,
+            name="backbone",
+        )(images)
+
+        features = FPN(self.feature_size, dtype=self.dtype, name="fpn")(c3, c4, c5)
+
+        reg_subnet = RegressionSubnet(
+            out_channels=self.num_anchors * 4,
+            head_bias_init=nn.initializers.zeros_init(),
+            feature_size=self.feature_size,
+            dtype=self.dtype,
+            name="regression_submodel",
+        )
+        cls_subnet = ClassificationSubnet(
+            out_channels=self.num_anchors * self.num_classes,
+            head_bias_init=PriorProbability(self.prior_probability),
+            feature_size=self.feature_size,
+            dtype=self.dtype,
+            name="classification_submodel",
+        )
+
+        b = images.shape[0]
+        regression = jnp.concatenate(
+            [reg_subnet(f).reshape(b, -1, 4) for f in features], axis=1
+        )
+        classification = jnp.concatenate(
+            [cls_subnet(f).reshape(b, -1, self.num_classes) for f in features], axis=1
+        )
+        # heads run in compute dtype (bf16); emit fp32 for losses/decode
+        return {
+            "regression": regression.astype(jnp.float32),
+            "classification": classification.astype(jnp.float32),
+        }

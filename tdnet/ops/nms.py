@@ -89,8 +89,34 @@ def non_max_suppression(
     return keep_orig
 
 
+def _nms_keep_presorted(cand_boxes, valid, iou_threshold, use_pallas, pallas_interpret):
+    """Keep-mask for score-DESCENDING candidates; jnp fixpoint or the Pallas
+    tiled kernel (ops/pallas_nms.py) — bit-identical by contract."""
+    if use_pallas:
+        from tdnet.ops.pallas_nms import TILE, pallas_nms_keep
+
+        k = cand_boxes.shape[0]
+        pad = (-k) % TILE
+        if pad:
+            cand_boxes = jnp.pad(cand_boxes, ((0, pad), (0, 0)))
+            valid = jnp.pad(valid, ((0, pad),))
+        keep = pallas_nms_keep(
+            cand_boxes[None], valid[None],
+            iou_threshold=iou_threshold, interpret=pallas_interpret,
+        )[0]
+        return keep[:k] if pad else keep
+
+    scores_desc = -jnp.arange(cand_boxes.shape[0], dtype=jnp.float32)
+    keep = non_max_suppression(
+        cand_boxes, scores_desc, iou_threshold=iou_threshold,
+        score_threshold=-jnp.inf,
+    )
+    return keep & valid
+
+
 def _per_class_candidates(
-    boxes, scores_c, score_threshold, iou_threshold, pre_nms_top_k, max_detections
+    boxes, scores_c, score_threshold, iou_threshold, pre_nms_top_k, max_detections,
+    use_pallas=False, pallas_interpret=False,
 ):
     """NMS one class: returns (max_detections,) scores and indices into boxes."""
     n = boxes.shape[0]
@@ -100,10 +126,10 @@ def _per_class_candidates(
     top_scores, top_idx = jax.lax.top_k(masked, k)
     cand_boxes = jnp.take(boxes, top_idx, axis=0)
 
-    keep = non_max_suppression(
-        cand_boxes, top_scores, iou_threshold=iou_threshold, score_threshold=-jnp.inf
+    keep = _nms_keep_presorted(
+        cand_boxes, top_scores > score_threshold, iou_threshold,
+        use_pallas, pallas_interpret,
     )
-    keep = keep & (top_scores > score_threshold)
 
     kept_scores = jnp.where(keep, top_scores, -jnp.inf)
     # per-class cap (reference: max_output_size=max_detections in tf NMS)
@@ -121,11 +147,14 @@ def filter_detections(
     max_detections: int = 300,
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Detections:
     """Filter decoded detections for ONE image (reference: filter_detections()).
 
     boxes: (N, 4) decoded+clipped boxes; classification: (N, K) scores.
     Returns fixed-shape Detections padded with -1. Batch via jax.vmap.
+    use_pallas selects the tiled TPU NMS kernel (identical results).
     """
     num_classes = classification.shape[1]
 
@@ -139,6 +168,8 @@ def filter_detections(
                     nms_threshold,
                     pre_nms_top_k,
                     max_detections,
+                    use_pallas=use_pallas,
+                    pallas_interpret=pallas_interpret,
                 )
                 for c in range(num_classes)
             ]
@@ -169,11 +200,10 @@ def filter_detections(
             k = min(pre_nms_top_k, thr.shape[0])
             cand_scores, cand_idx = jax.lax.top_k(thr, k)
             cand_boxes = jnp.take(boxes, cand_idx, axis=0)
-            keep = non_max_suppression(
-                cand_boxes, cand_scores, iou_threshold=nms_threshold,
-                score_threshold=-jnp.inf,
+            keep = _nms_keep_presorted(
+                cand_boxes, cand_scores > score_threshold, nms_threshold,
+                use_pallas, pallas_interpret,
             )
-            keep = keep & (cand_scores > score_threshold)
             all_scores = jnp.where(keep, cand_scores, -jnp.inf)
             all_idx = cand_idx
             all_labels = jnp.take(arg_labels, cand_idx)
@@ -203,8 +233,93 @@ def filter_detections(
     return Detections(out_boxes, out_scores, out_labels)
 
 
-def batched_filter_detections(boxes, classification, **kwargs) -> Detections:
-    """vmap of :func:`filter_detections` over the batch (replaces the
-    reference's tf.map_fn — runs fully parallel on-device)."""
-    fn = functools.partial(filter_detections, **kwargs)
+def batched_filter_detections(boxes, classification, use_pallas: bool = False,
+                              pallas_interpret: bool = False, **kwargs) -> Detections:
+    """Batched filter (replaces the reference's tf.map_fn — fully parallel
+    on-device). With use_pallas and the default class-specific NMS, the whole
+    batch*classes candidate set runs through ONE tiled-kernel launch."""
+    if (
+        use_pallas
+        and kwargs.get("nms", True)
+        and kwargs.get("class_specific_filter", True)
+    ):
+        return _batched_filter_detections_pallas(
+            boxes, classification, pallas_interpret=pallas_interpret, **kwargs
+        )
+    fn = functools.partial(filter_detections, use_pallas=False, **kwargs)
     return jax.vmap(fn)(boxes, classification)
+
+
+def _batched_filter_detections_pallas(
+    boxes: jnp.ndarray,
+    classification: jnp.ndarray,
+    nms: bool = True,
+    class_specific_filter: bool = True,
+    score_threshold: float = 0.05,
+    max_detections: int = 300,
+    nms_threshold: float = 0.5,
+    pre_nms_top_k: int = 1024,
+    pallas_interpret: bool = False,
+) -> Detections:
+    """Class-specific filtering with the Pallas NMS kernel, batched natively:
+    candidates for every (batch, class) pair are gathered with one batched
+    top-k and suppressed in one kernel launch with grid (B*C, K/128)."""
+    from tdnet.ops.pallas_nms import TILE, pallas_nms_keep
+
+    del nms, class_specific_filter  # this path is the (True, True) case
+    b, n, c = classification.shape
+    k = min(pre_nms_top_k, n)
+    k_pad = k + ((-k) % TILE)
+
+    # batched per-class top-k candidates
+    masked = jnp.where(classification > score_threshold, classification, -jnp.inf)
+    masked = jnp.transpose(masked, (0, 2, 1))  # (B, C, N)
+    top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, C, K)
+    cand_boxes = jnp.take_along_axis(
+        boxes[:, None, :, :], top_idx[..., None], axis=2
+    )  # (B, C, K, 4)
+
+    flat_boxes = cand_boxes.reshape(b * c, k, 4)
+    flat_valid = (top_scores > score_threshold).reshape(b * c, k)
+    if k_pad != k:
+        flat_boxes = jnp.pad(flat_boxes, ((0, 0), (0, k_pad - k), (0, 0)))
+        flat_valid = jnp.pad(flat_valid, ((0, 0), (0, k_pad - k)))
+
+    keep = pallas_nms_keep(
+        flat_boxes, flat_valid, iou_threshold=nms_threshold,
+        interpret=pallas_interpret,
+    )[:, :k].reshape(b, c, k)
+
+    kept_scores = jnp.where(keep, top_scores, -jnp.inf)  # (B, C, K)
+
+    # per-class cap at max_detections (reference: tf NMS max_output_size)
+    if k > max_detections:
+        kept_scores, sel = jax.lax.top_k(kept_scores, max_detections)
+        top_idx = jnp.take_along_axis(top_idx, sel, axis=2)
+
+    # merge classes, global top max_detections per image
+    mc = kept_scores.shape[2]
+    all_scores = kept_scores.reshape(b, c * mc)
+    all_idx = top_idx.reshape(b, c * mc)
+    labels_grid = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.int32)[None, :, None], (b, c, mc)
+    ).reshape(b, c * mc)
+
+    out_k = min(max_detections, all_scores.shape[1])
+    top_scores2, sel2 = jax.lax.top_k(all_scores, out_k)
+    sel_idx = jnp.take_along_axis(all_idx, sel2, axis=1)
+    sel_labels = jnp.take_along_axis(labels_grid, sel2, axis=1)
+    sel_boxes = jnp.take_along_axis(boxes, sel_idx[..., None], axis=1)
+
+    valid = top_scores2 > -jnp.inf
+    out_boxes = jnp.where(valid[..., None], sel_boxes, -1.0)
+    out_scores = jnp.where(valid, top_scores2, -1.0)
+    out_labels = jnp.where(valid, sel_labels, -1).astype(jnp.int32)
+
+    pad = max_detections - out_k
+    if pad > 0:
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
+        out_labels = jnp.pad(out_labels, ((0, 0), (0, pad)), constant_values=-1)
+
+    return Detections(out_boxes, out_scores, out_labels)

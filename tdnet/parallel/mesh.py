@@ -1,0 +1,70 @@
+"""Mesh + sharding policy — the single module every collective rides through.
+
+The reference's only parallelism is single-host in-graph data parallelism
+(keras multi_gpu_model; SURVEY.md §2.4). The TPU-native design: a 1-D
+'data' mesh axis under GSPMD — params replicated, batches sharded on their
+leading axis — with gradient all-reduce inserted automatically by XLA over
+ICI. Centralizing the shardings here means single-chip, a v5e pod slice, and
+multi-host DCN (jax.distributed.initialize + the same NamedShardings) are
+the same code path (SURVEY.md §6 "Distributed comm backend").
+
+A ResNet-50 detector does not warrant tensor/pipeline parallelism — activation memory
+and weights fit comfortably per chip; scaling is by batch. This gap is
+deliberate (SURVEY.md §6 "Long-context / sequence parallelism": n/a).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "initialize_distributed",
+]
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (no-op single-host). Wraps
+    jax.distributed.initialize so CLIs stay backend-agnostic."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def create_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (global) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), axis_names=(DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (params, opt state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict with every array batch-sharded on 'data'."""
+    return jax.device_put(batch, batch_sharding(mesh))

@@ -1,0 +1,72 @@
+"""Checkpoint/resume via orbax (SURVEY.md §6 "Checkpoint / resume").
+
+The reference snapshots whole Keras models per epoch to h5
+(bin/train.py ModelCheckpoint) and resumes with --snapshot. tdnet saves the
+{params, batch_stats, opt_state, step} pytree with orbax (async-capable,
+multi-host safe) under `{path}/{step}`; `latest_step` + `restore` give
+resume-from-latest. Deployable-artifact conversion (the reference's
+convert-model) is bin/convert_model.py, which strips optimizer state and
+bundles inference config.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+__all__ = ["Checkpointer"]
+
+
+class Checkpointer:
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any, wait: bool = False) -> None:
+        """Save {params, batch_stats, opt_state, step} (async by default)."""
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None):
+        """Restore into a TrainState template (shapes/dtypes from init)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        template = {
+            "params": state_template.params,
+            "batch_stats": state_template.batch_stats,
+            "opt_state": state_template.opt_state,
+            "step": state_template.step,
+        }
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return state_template.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

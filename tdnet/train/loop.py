@@ -1,0 +1,213 @@
+"""Training loop: epochs, metrics, LR plateau schedule, checkpoints, eval.
+
+The tdnet analog of the reference's fit_generator + callbacks
+(SURVEY.md §4.1, §6): per-epoch orbax snapshots (ModelCheckpoint),
+resume-from-latest (--snapshot), per-epoch mAP (callbacks/eval.py Evaluate),
+ReduceLROnPlateau(monitor='loss', factor=0.1, patience=2) re-implemented on
+optax injected hyperparams, and step metrics (loss parts, lr, imgs/sec —
+the BASELINE.json north-star metric) to stdout + JSONL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ReduceLROnPlateau", "MetricsWriter", "fit"]
+
+
+def _map_hyperparams(node, fn):
+    """Recursively rebuild an opt_state, applying `fn` to every
+    InjectHyperparamsState (handles chain tuples, multi_transform dicts)."""
+    if hasattr(node, "hyperparams"):
+        hp = dict(node.hyperparams)
+        return node._replace(hyperparams=fn(hp)), True
+    if hasattr(node, "inner_states"):  # MultiTransformState
+        new_inner = {}
+        any_found = False
+        for k, v in node.inner_states.items():
+            new_v, f = _map_hyperparams(v, fn)
+            new_inner[k] = new_v
+            any_found |= f
+        return node._replace(inner_states=new_inner), any_found
+    if hasattr(node, "inner_state"):  # MaskedState and friends
+        new_v, f = _map_hyperparams(node.inner_state, fn)
+        return node._replace(inner_state=new_v), f
+    if isinstance(node, tuple) and not hasattr(node, "_fields"):
+        results = [_map_hyperparams(x, fn) for x in node]
+        return tuple(r[0] for r in results), any(r[1] for r in results)
+    return node, False
+
+
+def get_learning_rate(opt_state) -> float:
+    found = []
+
+    def peek(hp):
+        found.append(float(hp["learning_rate"]))
+        return hp
+
+    _map_hyperparams(opt_state, peek)
+    if not found:
+        raise ValueError("optimizer has no injected hyperparams (use create_optimizer)")
+    return found[0]
+
+
+def set_learning_rate(opt_state, lr: float):
+    def setter(hp):
+        hp["learning_rate"] = jnp.asarray(
+            lr, jnp.asarray(hp["learning_rate"]).dtype
+        )
+        return hp
+
+    new_state, found = _map_hyperparams(opt_state, setter)
+    if not found:
+        raise ValueError("optimizer has no injected hyperparams (use create_optimizer)")
+    return new_state
+
+
+@dataclass
+class ReduceLROnPlateau:
+    """Keras-parity plateau schedule (reference: bin/train.py create_callbacks:
+    ReduceLROnPlateau(monitor='loss', factor=0.1, patience=2, min_delta=0))."""
+
+    factor: float = 0.1
+    patience: int = 2
+    min_delta: float = 0.0
+    min_lr: float = 0.0
+    verbose: bool = True
+
+    best: float = float("inf")
+    wait: int = 0
+
+    def update(self, monitored: float, lr: float) -> float:
+        if monitored < self.best - self.min_delta:
+            self.best = monitored
+            self.wait = 0
+            return lr
+        self.wait += 1
+        if self.wait >= self.patience:
+            new_lr = max(lr * self.factor, self.min_lr)
+            self.wait = 0
+            if self.verbose and new_lr < lr:
+                print(f"ReduceLROnPlateau: lr {lr:.3g} -> {new_lr:.3g}", flush=True)
+            return new_lr
+        return lr
+
+
+class MetricsWriter:
+    """JSONL step/epoch metrics (one object per line)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self._f = open(path, "a") if path else None
+
+    def write(self, record: dict) -> None:
+        if self._f is not None:
+            self._f.write(json.dumps(record) + "\n")
+            self._f.flush()
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+
+
+def fit(
+    state,
+    train_step: Callable,
+    batch_iterator,
+    steps_per_epoch: int,
+    epochs: int,
+    checkpointer=None,
+    evaluate_fn: Optional[Callable] = None,
+    lr_schedule: Optional[ReduceLROnPlateau] = None,
+    metrics_path: Optional[str] = None,
+    log_every: int = 50,
+    initial_epoch: int = 0,
+    profile_dir: Optional[str] = None,
+):
+    """Run the training loop; returns the final state.
+
+    batch_iterator yields device-ready batches forever (data.prefetch).
+    evaluate_fn(state) -> dict of eval metrics, run at each epoch end.
+    """
+    writer = MetricsWriter(metrics_path)
+    batches_per_log = max(1, log_every)
+
+    try:
+        for epoch in range(initial_epoch, epochs):
+            if profile_dir and epoch == initial_epoch + 1:
+                jax.profiler.start_trace(profile_dir)
+            epoch_start = time.time()
+            sums: dict = {}
+            window_start = time.time()
+            window_images = 0
+
+            for step_in_epoch in range(steps_per_epoch):
+                batch = next(batch_iterator)
+                bsz = batch["images"].shape[0]
+                state, metrics = train_step(state, batch)
+                window_images += bsz
+
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+
+                if (step_in_epoch + 1) % batches_per_log == 0:
+                    elapsed = time.time() - window_start
+                    ips = window_images / max(elapsed, 1e-9)
+                    lr = get_learning_rate(state.opt_state)
+                    rec = {
+                        "epoch": epoch,
+                        "step": int(state.step),
+                        "lr": lr,
+                        "images_per_sec": round(ips, 2),
+                        **{
+                            k: round(sums[k] / (step_in_epoch + 1), 5)
+                            for k in sums
+                        },
+                    }
+                    print(json.dumps(rec), flush=True)
+                    writer.write(rec)
+                    window_start = time.time()
+                    window_images = 0
+
+            epoch_loss = sums.get("loss", 0.0) / max(steps_per_epoch, 1)
+            epoch_rec = {
+                "epoch": epoch,
+                "epoch_loss": round(epoch_loss, 5),
+                "epoch_time_s": round(time.time() - epoch_start, 2),
+            }
+
+            if evaluate_fn is not None:
+                eval_metrics = evaluate_fn(state)
+                epoch_rec.update(
+                    {k: (round(v, 5) if isinstance(v, float) else v)
+                     for k, v in eval_metrics.items()}
+                )
+
+            print(json.dumps(epoch_rec), flush=True)
+            writer.write(epoch_rec)
+
+            if checkpointer is not None:
+                checkpointer.save(int(state.step), state)
+
+            if lr_schedule is not None:
+                lr = get_learning_rate(state.opt_state)
+                new_lr = lr_schedule.update(epoch_loss, lr)
+                if new_lr != lr:
+                    state = state.replace(
+                        opt_state=set_learning_rate(state.opt_state, new_lr)
+                    )
+            if profile_dir and epoch == initial_epoch + 1:
+                jax.profiler.stop_trace()
+    finally:
+        writer.close()
+        if checkpointer is not None:
+            checkpointer.wait()
+    return state

@@ -1,0 +1,92 @@
+"""Host-facing predictor: raw page image -> detections in original coords.
+
+Mirrors the reference inference call stack (SURVEY.md §4.2): preprocess ->
+resize -> forward -> decode -> clip -> NMS on device, then `boxes /= scale`
+on the host. Images are padded into shape buckets so the jitted pipeline
+compiles once per bucket; per-bucket executables are cached on the instance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdnet.data.generator import default_buckets, pick_bucket
+from tdnet.data.image import preprocess_image, resize_image
+from tdnet.models.detect import detections_from_outputs
+from tdnet.ops.anchors import AnchorParameters
+
+__all__ = ["Predictor"]
+
+
+class Predictor:
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        anchor_params: Optional[AnchorParameters] = None,
+        min_side: int = 800,
+        max_side: int = 1333,
+        buckets=None,
+        preprocess_mode: str = "caffe",
+        score_threshold: float = 0.05,
+        max_detections: int = 300,
+        nms_threshold: float = 0.5,
+        nms: bool = True,
+        class_specific_filter: bool = True,
+        pre_nms_top_k: int = 1024,
+        use_pallas: bool = False,
+    ):
+        self.model = model
+        # commit weights to device ONCE — numpy leaves (e.g. fresh from a
+        # .tdn load) would otherwise re-upload ~150MB on every jitted call
+        self.variables = jax.device_put(variables)
+        self.anchor_params = anchor_params
+        self.min_side = min_side
+        self.max_side = max_side
+        self.buckets = buckets or default_buckets(min_side, max_side)
+        self.preprocess_mode = preprocess_mode
+        self.det_kwargs = dict(
+            score_threshold=score_threshold,
+            max_detections=max_detections,
+            nms_threshold=nms_threshold,
+            nms=nms,
+            class_specific_filter=class_specific_filter,
+            pre_nms_top_k=pre_nms_top_k,
+            use_pallas=use_pallas,
+        )
+
+    @functools.lru_cache(maxsize=8)
+    def _pipeline(self, bucket: Tuple[int, int]):
+        """jitted images(1,H,W,3) -> Detections for one bucket shape."""
+
+        @jax.jit
+        def run(variables, images):
+            outputs = self.model.apply(variables, images)
+            return detections_from_outputs(
+                outputs, bucket, anchor_params=self.anchor_params, **self.det_kwargs
+            )
+
+        return run
+
+    def __call__(self, image_bgr: np.ndarray):
+        """Predict on one raw float32 BGR image. Returns (boxes (D,4),
+        scores (D,), labels (D,)) in original image coordinates, -1-padded."""
+        x = preprocess_image(image_bgr, mode=self.preprocess_mode)
+        x, scale = resize_image(x, min_side=self.min_side, max_side=self.max_side)
+        h, w = x.shape[:2]
+        bucket = pick_bucket(h, w, self.buckets)
+        canvas = np.zeros((1, bucket[0], bucket[1], 3), dtype=np.float32)
+        canvas[0, :h, :w, :] = x
+
+        det = self._pipeline(tuple(bucket))(self.variables, jnp.asarray(canvas))
+        boxes = np.asarray(det.boxes[0], np.float64)
+        scores = np.asarray(det.scores[0], np.float64)
+        labels = np.asarray(det.labels[0], np.int64)
+        valid = scores > -1
+        boxes[valid] /= scale  # host-side rescale (reference §4.2)
+        return boxes, scores, labels

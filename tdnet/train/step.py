@@ -1,0 +1,186 @@
+"""Jitted train/eval steps (data-parallel under GSPMD).
+
+Training contract (SURVEY.md §3 "Training defaults"; reference: bin/train.py
+create_models + parse_args): Adam lr=1e-5 with PER-TENSOR gradient norm
+clipping clipnorm=0.001 (Keras `clipnorm` clips each gradient tensor by its
+own L2 norm — NOT global-norm clipping; optax has no builtin for this, so
+`clip_by_leaf_norm` implements it), loss = smooth_l1(regression) +
+focal(classification).
+
+The step fuses, on device, what the reference does on the host per sample
+(SURVEY.md §4.1): anchor target assignment (vectorized IoU), both losses,
+backward, and the Adam update — one XLA program per shape bucket. Gradients
+all-reduce over the 'data' mesh axis automatically (params replicated,
+batch sharded; parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from tdnet.ops.anchors import AnchorParameters, anchors_for_shape
+from tdnet.ops.losses import focal, smooth_l1
+from tdnet.ops.targets import batched_anchor_targets
+
+__all__ = [
+    "TrainState",
+    "clip_by_leaf_norm",
+    "create_optimizer",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def clip_by_leaf_norm(max_norm: float) -> optax.GradientTransformation:
+    """Keras-style `clipnorm`: clip EACH gradient tensor to max L2 norm."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return g * scale
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def create_optimizer(
+    learning_rate: float = 1e-5, clipnorm: float = 1e-3
+) -> optax.GradientTransformation:
+    """Adam(1e-5, clipnorm=0.001) — the reference's compile() settings.
+
+    The Adam lr is injected as a mutable hyperparam so the plateau schedule
+    (train/loop.py ReduceLROnPlateau) can lower it without re-jitting."""
+    return optax.chain(
+        clip_by_leaf_norm(clipnorm),
+        optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate),
+    )
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    input_shape: Tuple[int, int, int, int],
+    tx: Optional[optax.GradientTransformation] = None,
+    freeze_backbone: bool = False,
+) -> TrainState:
+    """Init variables + optimizer. `freeze_backbone` masks backbone params
+    out of the update (reference: --freeze-backbone)."""
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+
+    if tx is None:
+        tx = create_optimizer()
+    if freeze_backbone:
+        # optax.masked would pass raw grads through for frozen leaves;
+        # multi_transform + set_to_zero actually freezes them.
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, _: "frozen"
+            if any(getattr(k, "key", None) == "backbone" for k in path)
+            else "trainable",
+            params,
+        )
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, labels
+        )
+
+    opt_state = tx.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model,
+    num_classes: int,
+    anchor_params: Optional[AnchorParameters] = None,
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
+    smooth_l1_sigma: float = 3.0,
+) -> Callable:
+    """Build the jittable train step. Anchors are trace-time constants of the
+    batch's (bucketed) image shape, so one compilation per bucket."""
+    focal_fn = focal(alpha=focal_alpha, gamma=focal_gamma, from_logits=True)
+    l1_fn = smooth_l1(sigma=smooth_l1_sigma)
+
+    def loss_fn(params, batch_stats, batch):
+        images = batch["images"]
+        anchors = jnp.asarray(
+            anchors_for_shape(images.shape[1:3], anchor_params=anchor_params),
+            jnp.float32,
+        )
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images
+        )
+        labels, regression = batched_anchor_targets(
+            anchors,
+            batch["gt_boxes"],
+            batch["gt_labels"],
+            batch["gt_mask"],
+            batch["image_hw"],
+            num_classes,
+        )
+        cls_loss = focal_fn(labels, outputs["classification"])
+        reg_loss = l1_fn(regression, outputs["regression"])
+        total = cls_loss + reg_loss
+        metrics = {
+            "loss": total,
+            "classification_loss": cls_loss,
+            "regression_loss": reg_loss,
+            "num_positive": jnp.sum(labels[..., -1] == 1.0),
+        }
+        return total, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, state.batch_stats, batch)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    """Forward-only step returning raw model outputs (fp32 logits)."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, images):
+        return model.apply({"params": params, "batch_stats": batch_stats}, images)
+
+    return eval_step

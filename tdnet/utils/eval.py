@@ -1,0 +1,142 @@
+"""VOC-style mAP evaluation (host side).
+
+Behavioral contract (SURVEY.md §3 "Inference/eval"; reference:
+keras_retinanet/utils/eval.py ~L1-230):
+
+- per image: keep detections with score > score_threshold (0.05), cap at
+  max_detections (100) by score;
+- per class: sort detections by descending score, greedily match each against
+  unmatched GT with IoU >= iou_threshold (0.5, legacy +1 IoU via the native
+  compute_overlap analog); double matches count as FP;
+- AP via VOC all-points interpolation (_compute_ap);
+- returns {label: (ap, num_annotations)}; the fork's single 'table' class
+  makes mAP == AP_table.
+
+The predictor is any callable mapping a raw BGR image to
+(boxes, scores, labels) in ORIGINAL image coordinates — the device pipeline
+is injected by bin/evaluate.py (see tdnet/train/predictor.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from tdnet.native import compute_overlap
+
+__all__ = ["evaluate", "compute_ap"]
+
+
+def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
+    """VOC all-points AP (reference: utils/eval.py _compute_ap)."""
+    mrec = np.concatenate(([0.0], recall, [1.0]))
+    mpre = np.concatenate(([0.0], precision, [0.0]))
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def _get_detections(dataset, predictor, score_threshold, max_detections):
+    num_classes = dataset.num_classes()
+    all_detections = [
+        [None for _ in range(num_classes)] for _ in range(dataset.size())
+    ]
+    for i in range(dataset.size()):
+        image = dataset.load_image(i)
+        boxes, scores, labels = predictor(image)
+        boxes = np.asarray(boxes, np.float64)
+        scores = np.asarray(scores, np.float64)
+        labels = np.asarray(labels, np.int64)
+
+        keep = scores > score_threshold
+        boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+        order = np.argsort(-scores, kind="stable")[:max_detections]
+        boxes, scores, labels = boxes[order], scores[order], labels[order]
+
+        dets = np.concatenate([boxes, scores[:, None]], axis=1)
+        for label in range(num_classes):
+            if dataset.has_label(label):
+                all_detections[i][label] = dets[labels == label]
+    return all_detections
+
+
+def _get_annotations(dataset):
+    num_classes = dataset.num_classes()
+    all_annotations = [
+        [None for _ in range(num_classes)] for _ in range(dataset.size())
+    ]
+    for i in range(dataset.size()):
+        ann = dataset.load_annotations(i)
+        for label in range(num_classes):
+            if dataset.has_label(label):
+                all_annotations[i][label] = ann["bboxes"][
+                    ann["labels"] == label
+                ].copy()
+    return all_annotations
+
+
+def evaluate(
+    dataset,
+    predictor: Callable,
+    iou_threshold: float = 0.5,
+    score_threshold: float = 0.05,
+    max_detections: int = 100,
+) -> Dict[int, Tuple[float, int]]:
+    """Evaluate a predictor over a dataset -> {label: (AP, num_annotations)}."""
+    all_detections = _get_detections(dataset, predictor, score_threshold, max_detections)
+    all_annotations = _get_annotations(dataset)
+    average_precisions: Dict[int, Tuple[float, int]] = {}
+
+    for label in range(dataset.num_classes()):
+        if not dataset.has_label(label):
+            continue
+        false_positives = []
+        true_positives = []
+        scores = []
+        num_annotations = 0.0
+
+        for i in range(dataset.size()):
+            detections = all_detections[i][label]
+            annotations = all_annotations[i][label]
+            num_annotations += annotations.shape[0]
+            detected = []
+
+            for d in detections:
+                scores.append(d[4])
+                if annotations.shape[0] == 0:
+                    false_positives.append(1)
+                    true_positives.append(0)
+                    continue
+                overlaps = compute_overlap(
+                    np.expand_dims(d[:4], axis=0), annotations
+                )
+                assigned = int(np.argmax(overlaps, axis=1)[0])
+                max_overlap = overlaps[0, assigned]
+                if max_overlap >= iou_threshold and assigned not in detected:
+                    true_positives.append(1)
+                    false_positives.append(0)
+                    detected.append(assigned)
+                else:
+                    false_positives.append(1)
+                    true_positives.append(0)
+
+        if num_annotations == 0:
+            average_precisions[label] = (0.0, 0)
+            continue
+
+        scores = np.asarray(scores)
+        order = np.argsort(-scores, kind="stable")
+        false_positives = np.cumsum(np.asarray(false_positives)[order])
+        true_positives = np.cumsum(np.asarray(true_positives)[order])
+
+        recall = true_positives / num_annotations
+        precision = true_positives / np.maximum(
+            true_positives + false_positives, np.finfo(np.float64).eps
+        )
+        average_precisions[label] = (
+            compute_ap(recall, precision),
+            int(num_annotations),
+        )
+    return average_precisions

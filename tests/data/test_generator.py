@@ -1,0 +1,136 @@
+"""Batch loader tests (reference: tests/preprocessing/test_generator.py —
+synthetic dataset, grouping/padding/target shape checks)."""
+
+import numpy as np
+import pytest
+
+from tdnet.data.generator import BatchLoader, LoaderConfig, default_buckets, pick_bucket
+
+
+class SyntheticDataset:
+    """In-memory dataset: white pages with one dark 'table' box."""
+
+    def __init__(self, shapes, boxes_per_image=1):
+        self.shapes = shapes
+        self.boxes_per_image = boxes_per_image
+
+    def size(self):
+        return len(self.shapes)
+
+    def num_classes(self):
+        return 1
+
+    def image_aspect_ratio(self, i):
+        h, w = self.shapes[i]
+        return w / h
+
+    def load_image(self, i):
+        h, w = self.shapes[i]
+        img = np.full((h, w, 3), 255.0, dtype=np.float32)
+        img[h // 4 : h // 2, w // 4 : w // 2] = 30.0
+        return img
+
+    def load_annotations(self, i):
+        h, w = self.shapes[i]
+        n = self.boxes_per_image
+        boxes = np.tile(
+            np.array([[w / 4, h / 4, w / 2, h / 2]], dtype=np.float64), (n, 1)
+        )
+        return {"labels": np.zeros((n,), np.int64), "bboxes": boxes}
+
+
+def test_default_buckets_cover_both_orientations():
+    buckets = default_buckets(800, 1333)
+    assert (832, 1344) in buckets and (1344, 832) in buckets
+
+
+def test_pick_bucket_smallest_fitting():
+    buckets = [(832, 1344), (1344, 832), (1344, 1344)]
+    assert pick_bucket(800, 1200, buckets) == (832, 1344)
+    assert pick_bucket(1200, 800, buckets) == (1344, 832)
+    assert pick_bucket(2000, 2000, buckets) == (1344, 1344)  # fallback: max
+
+
+def test_batch_shapes_and_padding():
+    ds = SyntheticDataset([(100, 200), (100, 200), (200, 100)])
+    cfg = LoaderConfig(batch_size=2, min_side=64, max_side=128,
+                       buckets=[(64, 128), (128, 64)], max_boxes=8, shuffle=False)
+    loader = BatchLoader(ds, cfg)
+    batches = list(loader.epoch())
+    # 2 landscape + 1 portrait -> 1 full landscape batch + 1 repeated portrait
+    assert len(batches) == 2
+    shapes = sorted(b["images"].shape for b in batches)
+    assert shapes == [(2, 64, 128, 3), (2, 128, 64, 3)]
+    for b in batches:
+        assert b["gt_boxes"].shape == (2, 8, 4)
+        assert b["gt_mask"].dtype == bool
+        assert b["gt_mask"][:, 0].all() and not b["gt_mask"][:, 1:].any()
+        # boxes scaled by resize scale; original box is (w/4, h/4, w/2, h/2)
+        landscape = b["images"].shape[2] > b["images"].shape[1]
+        orig = [50, 25, 100, 50] if landscape else [25, 50, 50, 100]
+        np.testing.assert_allclose(
+            b["gt_boxes"][0, 0],
+            np.array(orig, np.float32) * b["scale"][0],
+            rtol=1e-5,
+        )
+
+
+def test_partial_batch_repeats_indices():
+    ds = SyntheticDataset([(100, 200)] * 3)
+    cfg = LoaderConfig(batch_size=2, min_side=64, max_side=128,
+                       buckets=[(64, 128)], shuffle=False)
+    batches = list(BatchLoader(ds, cfg).epoch())
+    assert len(batches) == 2
+    assert len(batches[1]["indices"]) == 2  # padded by repetition
+
+
+def test_max_boxes_truncation_warns():
+    ds = SyntheticDataset([(100, 200)], boxes_per_image=5)
+    cfg = LoaderConfig(batch_size=1, min_side=64, max_side=128,
+                       buckets=[(64, 128)], max_boxes=3, shuffle=False)
+    with pytest.warns(UserWarning, match="truncating"):
+        batch = next(iter(BatchLoader(ds, cfg)))
+    assert batch["gt_mask"].sum() == 3
+
+
+def test_augmentation_keeps_shapes_and_boxes_in_image():
+    ds = SyntheticDataset([(100, 200)] * 4)
+    cfg = LoaderConfig(batch_size=2, min_side=64, max_side=128,
+                       buckets=[(64, 128)], random_transform=True, seed=3,
+                       shuffle=False)
+    for batch in BatchLoader(ds, cfg).epoch():
+        assert batch["images"].shape == (2, 64, 128, 3)
+        hw = batch["image_hw"]
+        valid = batch["gt_mask"]
+        boxes = batch["gt_boxes"]
+        for i in range(2):
+            for j in np.where(valid[i])[0]:
+                x1, y1, x2, y2 = boxes[i, j]
+                assert 0 <= x1 <= x2 <= hw[i, 1] + 1e-3
+                assert 0 <= y1 <= y2 <= hw[i, 0] + 1e-3
+
+
+def test_prefetch_to_device():
+    import jax
+
+    from tdnet.data.prefetch import prefetch_to_device
+
+    ds = SyntheticDataset([(100, 200)] * 2)
+    cfg = LoaderConfig(batch_size=1, min_side=64, max_side=128,
+                       buckets=[(64, 128)], shuffle=False)
+    out = list(prefetch_to_device(BatchLoader(ds, cfg).epoch()))
+    assert len(out) == 2
+    assert isinstance(out[0]["images"], jax.Array)
+
+
+def test_prefetch_propagates_errors():
+    from tdnet.data.prefetch import prefetch_to_device
+
+    def bad_iter():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(bad_iter())
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)

@@ -1,0 +1,95 @@
+"""LR schedule plumbing + orbax checkpoint round-trip tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tdnet.train.checkpoint import Checkpointer
+from tdnet.train.loop import ReduceLROnPlateau, get_learning_rate, set_learning_rate
+from tdnet.train.step import TrainState, clip_by_leaf_norm, create_optimizer
+
+
+def _toy_state(tx):
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats={},
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def test_get_set_learning_rate_plain_chain():
+    tx = create_optimizer(learning_rate=1e-5)
+    state = _toy_state(tx)
+    assert get_learning_rate(state.opt_state) == pytest.approx(1e-5)
+    new = set_learning_rate(state.opt_state, 1e-6)
+    assert get_learning_rate(new) == pytest.approx(1e-6)
+
+
+def test_get_set_learning_rate_through_multi_transform():
+    inner = create_optimizer(learning_rate=1e-4)
+    labels = {"w": "trainable", "b": "frozen"}
+    tx = optax.multi_transform(
+        {"trainable": inner, "frozen": optax.set_to_zero()}, labels
+    )
+    state = _toy_state(tx)
+    assert get_learning_rate(state.opt_state) == pytest.approx(1e-4)
+    new = set_learning_rate(state.opt_state, 5e-5)
+    assert get_learning_rate(new) == pytest.approx(5e-5)
+
+
+def test_set_learning_rate_changes_updates():
+    tx = create_optimizer(learning_rate=1.0, clipnorm=1e9)
+    state = _toy_state(tx)
+    grads = {"w": jnp.ones((3,)), "b": jnp.ones((2,))}
+    s1 = state.apply_gradients(grads)
+    step1 = float(np.abs(np.asarray(s1.params["w"]) - 1.0).max())
+
+    state2 = state.replace(opt_state=set_learning_rate(state.opt_state, 0.1))
+    s2 = state2.apply_gradients(grads)
+    step2 = float(np.abs(np.asarray(s2.params["w"]) - 1.0).max())
+    assert step2 == pytest.approx(step1 * 0.1, rel=1e-3)
+
+
+def test_reduce_lr_on_plateau_semantics():
+    sched = ReduceLROnPlateau(factor=0.1, patience=2, verbose=False)
+    lr = 1e-3
+    lr = sched.update(1.0, lr)   # improvement (best=inf -> 1.0)
+    assert lr == 1e-3
+    lr = sched.update(1.0, lr)   # no improvement (wait 1)
+    assert lr == 1e-3
+    lr = sched.update(1.0, lr)   # no improvement (wait 2 -> reduce)
+    assert lr == pytest.approx(1e-4)
+    lr = sched.update(0.5, lr)   # new best -> no change
+    assert lr == pytest.approx(1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tx = create_optimizer(learning_rate=1e-5)
+    state = _toy_state(tx)
+    state = state.apply_gradients({"w": jnp.ones((3,)), "b": jnp.ones((2,))})
+
+    ckpt = Checkpointer(str(tmp_path / "snaps"))
+    ckpt.save(1, state, wait=True)
+    assert ckpt.latest_step() == 1
+
+    fresh = _toy_state(tx)
+    restored = ckpt.restore(fresh)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"])
+    )
+    assert int(restored.step) == 1
+    # opt state (adam moments) restored too
+    assert get_learning_rate(restored.opt_state) == pytest.approx(1e-5)
+    ckpt.close()
+
+
+def test_checkpoint_restore_missing_raises(tmp_path):
+    ckpt = Checkpointer(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore(_toy_state(create_optimizer()))
+    ckpt.close()
