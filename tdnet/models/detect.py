@@ -48,6 +48,7 @@ def detections_from_outputs(
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
     use_pallas: bool = False,
+    soft_nms_sigma: float = 0.0,
 ) -> Detections:
     """Full inference tail for a batch of model outputs.
 
@@ -72,4 +73,5 @@ def detections_from_outputs(
         nms_threshold=nms_threshold,
         pre_nms_top_k=pre_nms_top_k,
         use_pallas=use_pallas,
+        soft_nms_sigma=soft_nms_sigma,
     )

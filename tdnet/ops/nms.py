@@ -116,7 +116,7 @@ def _nms_keep_presorted(cand_boxes, valid, iou_threshold, use_pallas, pallas_int
 
 def _per_class_candidates(
     boxes, scores_c, score_threshold, iou_threshold, pre_nms_top_k, max_detections,
-    use_pallas=False, pallas_interpret=False,
+    use_pallas=False, pallas_interpret=False, soft_nms_sigma=0.0,
 ):
     """NMS one class: returns (max_detections,) scores and indices into boxes."""
     n = boxes.shape[0]
@@ -126,10 +126,24 @@ def _per_class_candidates(
     top_scores, top_idx = jax.lax.top_k(masked, k)
     cand_boxes = jnp.take(boxes, top_idx, axis=0)
 
-    keep = _nms_keep_presorted(
-        cand_boxes, top_scores > score_threshold, iou_threshold,
-        use_pallas, pallas_interpret,
-    )
+    if soft_nms_sigma > 0.0:
+        from tdnet.ops.soft_nms import soft_nms_rescore
+
+        rescored = soft_nms_rescore(
+            cand_boxes,
+            jnp.where(top_scores > score_threshold, top_scores, 0.0),
+            method="gaussian",
+            sigma=soft_nms_sigma,
+            score_threshold=score_threshold,
+            max_selections=max_detections,
+        )
+        keep = rescored > score_threshold
+        top_scores = rescored
+    else:
+        keep = _nms_keep_presorted(
+            cand_boxes, top_scores > score_threshold, iou_threshold,
+            use_pallas, pallas_interpret,
+        )
 
     kept_scores = jnp.where(keep, top_scores, -jnp.inf)
     # per-class cap (reference: max_output_size=max_detections in tf NMS)
@@ -149,6 +163,7 @@ def filter_detections(
     pre_nms_top_k: int = 1024,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    soft_nms_sigma: float = 0.0,
 ) -> Detections:
     """Filter decoded detections for ONE image (reference: filter_detections()).
 
@@ -170,6 +185,7 @@ def filter_detections(
                     max_detections,
                     use_pallas=use_pallas,
                     pallas_interpret=pallas_interpret,
+                    soft_nms_sigma=soft_nms_sigma,
                 )
                 for c in range(num_classes)
             ]
@@ -242,6 +258,7 @@ def batched_filter_detections(boxes, classification, use_pallas: bool = False,
         use_pallas
         and kwargs.get("nms", True)
         and kwargs.get("class_specific_filter", True)
+        and kwargs.get("soft_nms_sigma", 0.0) == 0.0
     ):
         return _batched_filter_detections_pallas(
             boxes, classification, pallas_interpret=pallas_interpret, **kwargs

@@ -40,6 +40,7 @@ class Predictor:
         class_specific_filter: bool = True,
         pre_nms_top_k: int = 1024,
         use_pallas: bool = False,
+        soft_nms_sigma: float = 0.0,
     ):
         self.model = model
         # commit weights to device ONCE — numpy leaves (e.g. fresh from a
@@ -58,6 +59,7 @@ class Predictor:
             class_specific_filter=class_specific_filter,
             pre_nms_top_k=pre_nms_top_k,
             use_pallas=use_pallas,
+            soft_nms_sigma=soft_nms_sigma,
         )
 
     @functools.lru_cache(maxsize=8)
