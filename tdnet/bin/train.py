@@ -66,6 +66,8 @@ def parse_args(argv=None):
                         help="bfloat16 compute (recommended on TPU)")
     parser.add_argument("--log-every", default=50, type=int)
     parser.add_argument("--metrics-path", default=None, type=str)
+    parser.add_argument("--tensorboard-dir", default=None, type=str,
+                        help="write TensorBoard scalars (reference: --tensorboard-dir)")
     parser.add_argument("--profile-dir", default=None, type=str,
                         help="capture a jax profiler trace of epoch 2")
     parser.add_argument("--nan-check", action="store_true",
@@ -159,6 +161,7 @@ def main(argv=None) -> int:
         evaluate_fn=evaluate_fn,
         lr_schedule=ReduceLROnPlateau(),
         metrics_path=args.metrics_path,
+        tensorboard_dir=args.tensorboard_dir,
         log_every=args.log_every,
         initial_epoch=initial_epoch,
         profile_dir=args.profile_dir,

@@ -45,12 +45,25 @@ class Backbone:
             )
 
 
-# ResNet family uses caffe-mode preprocessing (BGR + mean subtraction),
-# reference: models/resnet.py ResNetBackbone.preprocess_image.
+# Preprocessing modes follow the reference backbones: ResNet/SE-ResNet/VGG
+# use caffe (BGR + mean subtraction, models/resnet.py models/vgg.py
+# models/senet.py); MobileNet/DenseNet use tf ([-1, 1] scaling,
+# models/mobilenet.py models/densenet.py).
 _REGISTRY = {
     "resnet50": Backbone("resnet50", "caffe"),
     "resnet101": Backbone("resnet101", "caffe"),
     "resnet152": Backbone("resnet152", "caffe"),
+    "seresnet50": Backbone("seresnet50", "caffe"),
+    "seresnet101": Backbone("seresnet101", "caffe"),
+    "seresnet152": Backbone("seresnet152", "caffe"),
+    "vgg16": Backbone("vgg16", "caffe"),
+    "vgg19": Backbone("vgg19", "caffe"),
+    "densenet121": Backbone("densenet121", "tf"),
+    "densenet169": Backbone("densenet169", "tf"),
+    "densenet201": Backbone("densenet201", "tf"),
+    "mobilenet": Backbone("mobilenet", "tf"),
+    "mobilenet_0.75": Backbone("mobilenet_0.75", "tf"),
+    "mobilenet_0.5": Backbone("mobilenet_0.5", "tf"),
 }
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -33,11 +34,15 @@ STAGE_SIZES = {
 
 
 class Bottleneck(nn.Module):
-    """1x1(/s) -> 3x3 -> 1x1(*4) bottleneck with post-activation residual."""
+    """1x1(/s) -> 3x3 -> 1x1(*4) bottleneck with post-activation residual.
+
+    se_ratio > 0 inserts a squeeze-excitation gate before the residual add
+    (SE-ResNet — the reference's senet.py family, models/senet.py)."""
 
     filters: int
     stride: int = 1
     projection: bool = False
+    se_ratio: float = 0.0
     dtype: Any = jnp.float32
     freeze_bn: bool = True
 
@@ -58,6 +63,16 @@ class Bottleneck(nn.Module):
         y = conv(self.filters * 4, 1, 1, "conv3")(y)
         y = bn("bn3")(y)
 
+        if self.se_ratio > 0:
+            squeeze = jnp.mean(y, axis=(1, 2), keepdims=True)
+            hidden = max(1, int(self.filters * 4 * self.se_ratio))
+            s = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="se_reduce")(squeeze)
+            s = nn.relu(s)
+            s = nn.Dense(self.filters * 4, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="se_expand")(s)
+            y = y * jax.nn.sigmoid(s)
+
         if self.projection:
             shortcut = conv(self.filters * 4, 1, self.stride, "conv_shortcut")(x)
             shortcut = bn("bn_shortcut")(shortcut)
@@ -70,6 +85,7 @@ class ResNet(nn.Module):
     """Returns (C3, C4, C5) feature maps at strides 8/16/32."""
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    se_ratio: float = 0.0  # > 0 -> SE-ResNet (reference: models/senet.py)
     dtype: Any = jnp.float32
     freeze_bn: bool = True
 
@@ -94,6 +110,7 @@ class ResNet(nn.Module):
                     filters=filters,
                     stride=stride if block == 0 else 1,
                     projection=block == 0,
+                    se_ratio=self.se_ratio,
                     dtype=self.dtype,
                     freeze_bn=self.freeze_bn,
                     name=f"stage{stage + 2}_block{block}",

@@ -30,6 +30,38 @@ from tdnet.models.resnet import STAGE_SIZES, ResNet
 __all__ = ["RetinaNet", "FPN", "ClassificationSubnet", "RegressionSubnet"]
 
 
+def _build_backbone(name: str, dtype, freeze_bn: bool) -> nn.Module:
+    """Instantiate a C3/C4/C5 feature extractor by registry name
+    (reference: models/__init__.py backbone() dispatch)."""
+    if name in STAGE_SIZES:
+        return ResNet(stage_sizes=STAGE_SIZES[name], dtype=dtype,
+                      freeze_bn=freeze_bn, name="backbone")
+    if name.startswith("seresnet") and name[2:] in STAGE_SIZES:
+        return ResNet(stage_sizes=STAGE_SIZES[name[2:]], se_ratio=1.0 / 16,
+                      dtype=dtype, freeze_bn=freeze_bn, name="backbone")
+    if name in ("vgg16", "vgg19"):
+        from tdnet.models.vgg import VGG, VGG_STAGES
+
+        return VGG(stage_sizes=VGG_STAGES[name], dtype=dtype, name="backbone")
+    if name in ("densenet121", "densenet169", "densenet201"):
+        from tdnet.models.densenet import DENSENET_BLOCKS, DenseNet
+
+        return DenseNet(block_sizes=DENSENET_BLOCKS[name], dtype=dtype,
+                        freeze_bn=freeze_bn, name="backbone")
+    if name.startswith("mobilenet"):
+        from tdnet.models.mobilenet import MobileNet
+
+        # 'mobilenet224_1.0' style names (reference) or plain 'mobilenet'
+        alpha = float(name.split("_")[-1]) if "_" in name else 1.0
+        return MobileNet(alpha=alpha, dtype=dtype, freeze_bn=freeze_bn,
+                         name="backbone")
+    raise ValueError(
+        f"unknown backbone {name!r}; available: resnet50/101/152, "
+        "seresnet50/101/152, vgg16/19, densenet121/169/201, "
+        "mobilenet[_<alpha>]"
+    )
+
+
 class FPN(nn.Module):
     """Pyramid features P3..P7 from backbone taps C3/C4/C5."""
 
@@ -117,16 +149,8 @@ class RetinaNet(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        if self.backbone_name not in STAGE_SIZES:
-            raise ValueError(
-                f"unknown backbone {self.backbone_name!r}; "
-                f"available: {sorted(STAGE_SIZES)}"
-            )
-        c3, c4, c5 = ResNet(
-            stage_sizes=STAGE_SIZES[self.backbone_name],
-            dtype=self.dtype,
-            freeze_bn=self.freeze_bn,
-            name="backbone",
+        c3, c4, c5 = _build_backbone(
+            self.backbone_name, self.dtype, self.freeze_bn
         )(images)
 
         features = FPN(self.feature_size, dtype=self.dtype, name="fpn")(c3, c4, c5)

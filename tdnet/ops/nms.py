@@ -277,13 +277,14 @@ def _batched_filter_detections_pallas(
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
     pallas_interpret: bool = False,
+    soft_nms_sigma: float = 0.0,
 ) -> Detections:
     """Class-specific filtering with the Pallas NMS kernel, batched natively:
     candidates for every (batch, class) pair are gathered with one batched
     top-k and suppressed in one kernel launch with grid (B*C, K/128)."""
     from tdnet.ops.pallas_nms import TILE, pallas_nms_keep
 
-    del nms, class_specific_filter  # this path is the (True, True) case
+    del nms, class_specific_filter, soft_nms_sigma  # (True, True, 0.0) case
     b, n, c = classification.shape
     k = min(pre_nms_top_k, n)
     k_pad = k + ((-k) % TILE)

@@ -103,19 +103,39 @@ class ReduceLROnPlateau:
 
 
 class MetricsWriter:
-    """JSONL step/epoch metrics (one object per line)."""
+    """JSONL step/epoch metrics + optional TensorBoard scalars
+    (the reference's TensorBoard callback analog, SURVEY.md §6)."""
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None, tensorboard_dir: Optional[str] = None):
         self._f = open(path, "a") if path else None
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                import tensorflow as tf  # baked into the image; optional
+
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except Exception as e:  # pragma: no cover
+                print(f"tensorboard writer unavailable: {e}", file=sys.stderr)
 
     def write(self, record: dict) -> None:
         if self._f is not None:
             self._f.write(json.dumps(record) + "\n")
             self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            step = int(record.get("step", record.get("epoch", 0)))
+            with self._tb.as_default():
+                for k, v in record.items():
+                    if isinstance(v, (int, float)) and k != "step":
+                        tf.summary.scalar(k, v, step=step)
+                self._tb.flush()
 
     def close(self) -> None:
         if self._f is not None:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def fit(
@@ -128,6 +148,7 @@ def fit(
     evaluate_fn: Optional[Callable] = None,
     lr_schedule: Optional[ReduceLROnPlateau] = None,
     metrics_path: Optional[str] = None,
+    tensorboard_dir: Optional[str] = None,
     log_every: int = 50,
     initial_epoch: int = 0,
     profile_dir: Optional[str] = None,
@@ -137,7 +158,7 @@ def fit(
     batch_iterator yields device-ready batches forever (data.prefetch).
     evaluate_fn(state) -> dict of eval metrics, run at each epoch end.
     """
-    writer = MetricsWriter(metrics_path)
+    writer = MetricsWriter(metrics_path, tensorboard_dir)
     batches_per_log = max(1, log_every)
 
     try:
