@@ -64,6 +64,8 @@ def parse_args(argv=None):
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (recommended on TPU)")
+    parser.add_argument("--device-normalize", action="store_true",
+                        help="ship uint8 batches; normalization fuses into the graph")
     parser.add_argument("--log-every", default=50, type=int)
     parser.add_argument("--metrics-path", default=None, type=str)
     parser.add_argument("--tensorboard-dir", default=None, type=str,
@@ -94,6 +96,7 @@ def main(argv=None) -> int:
         max_side=args.image_max_side,
         max_boxes=args.max_boxes,
         preprocess_mode=bb.preprocess_mode,
+        device_normalize=args.device_normalize,
         random_transform=args.random_transform,
         seed=args.seed,
     )
@@ -127,7 +130,8 @@ def main(argv=None) -> int:
         print(f"resumed from step {int(state.step)} (epoch {initial_epoch})")
 
     train_step = make_train_step(
-        model, train_ds.num_classes(), anchor_params=anchor_params
+        model, train_ds.num_classes(), anchor_params=anchor_params,
+        preprocess_mode=bb.preprocess_mode,
     )
 
     evaluate_fn = None

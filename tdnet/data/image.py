@@ -33,6 +33,7 @@ __all__ = [
     "CAFFE_MEAN_BGR",
     "read_image_bgr",
     "preprocess_image",
+    "preprocess_image_device",
     "compute_resize_scale",
     "resize_image",
 ]
@@ -57,6 +58,23 @@ def preprocess_image(x: np.ndarray, mode: str = "caffe") -> np.ndarray:
     x = x.astype(np.float32)
     if mode == "caffe":
         return x - CAFFE_MEAN_BGR
+    if mode == "tf":
+        return (x / 127.5) - 1.0
+    raise ValueError(f"unknown preprocessing mode {mode!r}")
+
+
+def preprocess_image_device(images, mode: str = "caffe"):
+    """jnp normalization for the fused device-side ingestion path
+    (BASELINE.json config 2: resize/pad on host in uint8, normalize fused
+    into the jitted graph — 4x less host->device traffic, and XLA fuses the
+    subtract into the first conv). Mathematically equivalent to host
+    preprocessing up to uint8 rounding (mean-shift commutes with the linear
+    warp/resize)."""
+    import jax.numpy as jnp
+
+    x = images.astype(jnp.float32)
+    if mode == "caffe":
+        return x - jnp.asarray(CAFFE_MEAN_BGR)
     if mode == "tf":
         return (x / 127.5) - 1.0
     raise ValueError(f"unknown preprocessing mode {mode!r}")

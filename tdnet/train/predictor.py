@@ -41,6 +41,7 @@ class Predictor:
         pre_nms_top_k: int = 1024,
         use_pallas: bool = False,
         soft_nms_sigma: float = 0.0,
+        device_preprocess: bool = False,
     ):
         self.model = model
         # commit weights to device ONCE — numpy leaves (e.g. fresh from a
@@ -51,6 +52,8 @@ class Predictor:
         self.max_side = max_side
         self.buckets = buckets or default_buckets(min_side, max_side)
         self.preprocess_mode = preprocess_mode
+        # ship uint8, normalize in-graph (fused ingestion; BASELINE config 2)
+        self.device_preprocess = device_preprocess
         self.det_kwargs = dict(
             score_threshold=score_threshold,
             max_detections=max_detections,
@@ -68,6 +71,10 @@ class Predictor:
 
         @jax.jit
         def run(variables, images):
+            if images.dtype == jnp.uint8:
+                from tdnet.data.image import preprocess_image_device
+
+                images = preprocess_image_device(images, self.preprocess_mode)
             outputs = self.model.apply(variables, images)
             return detections_from_outputs(
                 outputs, bucket, anchor_params=self.anchor_params, **self.det_kwargs
@@ -78,12 +85,21 @@ class Predictor:
     def __call__(self, image_bgr: np.ndarray):
         """Predict on one raw float32 BGR image. Returns (boxes (D,4),
         scores (D,), labels (D,)) in original image coordinates, -1-padded."""
-        x = preprocess_image(image_bgr, mode=self.preprocess_mode)
-        x, scale = resize_image(x, min_side=self.min_side, max_side=self.max_side)
-        h, w = x.shape[:2]
-        bucket = pick_bucket(h, w, self.buckets)
-        canvas = np.zeros((1, bucket[0], bucket[1], 3), dtype=np.float32)
-        canvas[0, :h, :w, :] = x
+        if self.device_preprocess:
+            x, scale = resize_image(
+                image_bgr, min_side=self.min_side, max_side=self.max_side
+            )
+            h, w = x.shape[:2]
+            bucket = pick_bucket(h, w, self.buckets)
+            canvas = np.zeros((1, bucket[0], bucket[1], 3), dtype=np.uint8)
+            canvas[0, :h, :w, :] = np.clip(x, 0, 255).astype(np.uint8)
+        else:
+            x = preprocess_image(image_bgr, mode=self.preprocess_mode)
+            x, scale = resize_image(x, min_side=self.min_side, max_side=self.max_side)
+            h, w = x.shape[:2]
+            bucket = pick_bucket(h, w, self.buckets)
+            canvas = np.zeros((1, bucket[0], bucket[1], 3), dtype=np.float32)
+            canvas[0, :h, :w, :] = x
 
         det = self._pipeline(tuple(bucket))(self.variables, jnp.asarray(canvas))
         boxes = np.asarray(det.boxes[0], np.float64)

@@ -132,14 +132,22 @@ def make_train_step(
     focal_alpha: float = 0.25,
     focal_gamma: float = 2.0,
     smooth_l1_sigma: float = 3.0,
+    preprocess_mode: str = "caffe",
 ) -> Callable:
     """Build the jittable train step. Anchors are trace-time constants of the
-    batch's (bucketed) image shape, so one compilation per bucket."""
+    batch's (bucketed) image shape, so one compilation per bucket.
+
+    uint8 batches (LoaderConfig.device_normalize) are normalized in-graph —
+    XLA fuses the mean-subtract into the first conv."""
     focal_fn = focal(alpha=focal_alpha, gamma=focal_gamma, from_logits=True)
     l1_fn = smooth_l1(sigma=smooth_l1_sigma)
 
     def loss_fn(params, batch_stats, batch):
         images = batch["images"]
+        if images.dtype == jnp.uint8:
+            from tdnet.data.image import preprocess_image_device
+
+            images = preprocess_image_device(images, preprocess_mode)
         anchors = jnp.asarray(
             anchors_for_shape(images.shape[1:3], anchor_params=anchor_params),
             jnp.float32,
