@@ -43,9 +43,15 @@ def main() -> int:
         else jnp.float32
     )
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    bucket = (800, 1344)  # landscape document-page bucket (data/generator.py)
+    backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
+    num_classes = int(os.environ.get("BENCH_CLASSES", "1"))
+    # landscape document-page bucket (data/generator.py); BENCH_BUCKET=HxW
+    # overrides (e.g. 1024x1024 for the ResNet-101 config)
+    bucket = tuple(
+        int(v) for v in os.environ.get("BENCH_BUCKET", "800x1344").split("x")
+    )
 
-    model = RetinaNet(num_classes=1, dtype=dtype)
+    model = RetinaNet(num_classes=num_classes, backbone_name=backbone, dtype=dtype)
     rng = jax.random.PRNGKey(0)
     init_images = jnp.zeros((1,) + bucket + (3,), jnp.float32)
     variables = jax.jit(model.init)(rng, init_images)
@@ -85,7 +91,7 @@ def main() -> int:
 
     paper_m40_ips = 1.0 / 0.122  # RetinaNet-50-800, Lin et al. 2017
     result = {
-        "metric": "retinanet_resnet50_800x1333_batched_inference",
+        "metric": f"retinanet_{backbone}_{bucket[0]}x{bucket[1]}_batched_inference",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / paper_m40_ips, 2),

@@ -74,3 +74,23 @@ def backbone(name: str) -> Backbone:
             f"unknown backbone {name!r}; available: {sorted(_REGISTRY)}"
         )
     return _REGISTRY[name]
+
+
+def load_model(path: str, **kwargs):
+    """API-parity alias (reference: models.load_model) -> see models/io.py."""
+    from tdnet.models.io import load_model as _load
+
+    return _load(path, **kwargs)
+
+
+def convert_model(model, variables, anchor_params=None, nms=True,
+                  class_specific_filter=True, **inference_overrides):
+    """API-parity analog of the reference's models.convert_model: returns a
+    Predictor wired with the inference tail (decode+clip+NMS), the runtime
+    form of the reference's retinanet_bbox-converted graph."""
+    from tdnet.train.predictor import Predictor
+
+    return Predictor(
+        model, variables, anchor_params=anchor_params, nms=nms,
+        class_specific_filter=class_specific_filter, **inference_overrides,
+    )
