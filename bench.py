@@ -56,15 +56,35 @@ def main() -> int:
     init_images = jnp.zeros((1,) + bucket + (3,), jnp.float32)
     variables = jax.jit(model.init)(rng, init_images)
 
+    # measured on v5e: uint8 in-graph conversion costs ~150ms/step at batch
+    # 32 (slow uint8->f32 lowering), far more than the 3/4 transfer saving —
+    # pre-normalized f32 input is the fast default; BENCH_FUSED=1 to compare
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+
     @jax.jit
     def pipeline(variables, images):
+        if images.dtype == jnp.uint8:
+            from tdnet.data.image import preprocess_image_device
+
+            images = preprocess_image_device(images, "caffe")
         outputs = model.apply(variables, images)
         return detections_from_outputs(
             outputs, bucket, pre_nms_top_k=1024, use_pallas=use_pallas
         )
 
-    x = np.random.RandomState(0).uniform(-116, 139, (batch,) + bucket + (3,))
-    images = jax.device_put(jnp.asarray(x, jnp.float32))
+    rng_np = np.random.RandomState(0)
+    if fused:
+        # config-2 ingestion: uint8 page canvases, normalize fused in-graph
+        x = rng_np.randint(0, 256, (batch,) + bucket + (3,), dtype=np.uint8)
+        images = jax.device_put(jnp.asarray(x))
+    else:
+        in_dtype = (
+            jnp.bfloat16
+            if os.environ.get("BENCH_INPUT", "f32") == "bf16"
+            else jnp.float32
+        )
+        x = rng_np.uniform(-116, 139, (batch,) + bucket + (3,))
+        images = jax.device_put(jnp.asarray(x, in_dtype))
 
     # compile + warmup. NOTE: on the tunneled axon platform
     # block_until_ready is not a reliable completion barrier — a host fetch
@@ -98,6 +118,7 @@ def main() -> int:
         "batch": batch,
         "dtype": "bf16" if dtype == jnp.bfloat16 else "f32",
         "nms": "pallas" if use_pallas else "jnp",
+        "ingestion": "fused_uint8" if fused else "prenormalized_f32",
         "median_step_ms": round(dt * 1000, 2),
         "device": jax.devices()[0].device_kind,
         "checksum": round(checksum, 2),

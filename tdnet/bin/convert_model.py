@@ -19,7 +19,6 @@ from tdnet.bin._common import anchor_params_from_args, ensure_parent_dir
 from tdnet.models import backbone as backbone_registry
 from tdnet.models.io import save_model
 from tdnet.train.checkpoint import Checkpointer
-from tdnet.train.step import create_train_state
 
 
 def parse_args(argv=None):
@@ -48,14 +47,18 @@ def main(argv=None) -> int:
     args = parse_args(argv)
     bb = backbone_registry(args.backbone)
     model = bb.retinanet(args.num_classes, dtype=jnp.float32)
-    state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
-    state = Checkpointer(args.snapshot).restore(state, step=args.step)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ckpt = Checkpointer(args.snapshot)
+    step = args.step if args.step is not None else ckpt.latest_step()
+    params, batch_stats = ckpt.restore_weights(
+        template["params"], template.get("batch_stats", {}), step=step
+    )
 
     ensure_parent_dir(args.model_out)
     save_model(
         args.model_out,
         model,
-        {"params": state.params, "batch_stats": state.batch_stats},
+        {"params": params, "batch_stats": batch_stats},
         anchor_params=anchor_params_from_args(args),
         inference_config={
             "nms": args.nms,
@@ -68,7 +71,7 @@ def main(argv=None) -> int:
             "preprocess_mode": bb.preprocess_mode,
         },
     )
-    print(f"converted step-{int(state.step)} snapshot -> {args.model_out}")
+    print(f"converted step-{step} snapshot -> {args.model_out}")
     return 0
 
 

@@ -20,7 +20,6 @@ from tdnet.models import backbone as backbone_registry
 from tdnet.models.io import anchor_params_from_meta, load_model
 from tdnet.train.checkpoint import Checkpointer
 from tdnet.train.predictor import Predictor
-from tdnet.train.step import create_train_state
 from tdnet.utils.eval import evaluate
 
 
@@ -45,11 +44,11 @@ def load_any_model(path, args, num_classes, dtype):
     if os.path.isdir(path):
         bb = backbone_registry(args.backbone)
         model = bb.retinanet(num_classes, dtype=dtype)
-        state = create_train_state(
-            model, jax.random.PRNGKey(0), (1, 64, 64, 3)
+        template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        params, batch_stats = Checkpointer(path).restore_weights(
+            template["params"], template.get("batch_stats", {})
         )
-        state = Checkpointer(path).restore(state)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = {"params": params, "batch_stats": batch_stats}
         return model, variables, anchor_params_from_args(args), None
     model, variables, meta = load_model(path, dtype=dtype)
     anchors = anchor_params_from_args(args) or anchor_params_from_meta(meta)

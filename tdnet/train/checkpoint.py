@@ -38,7 +38,7 @@ class Checkpointer:
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.save(step, args=ocp.args.PyTreeSave(payload))
         if wait:
             self._mgr.wait_until_finished()
 
@@ -57,13 +57,31 @@ class Checkpointer:
             "opt_state": state_template.opt_state,
             "step": state_template.step,
         }
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        restored = self._mgr.restore(step, args=ocp.args.PyTreeRestore(item=template))
         return state_template.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+    def restore_weights(self, params_template, batch_stats_template,
+                        step: Optional[int] = None):
+        """Restore only {params, batch_stats} — lets evaluate/convert load a
+        snapshot without reconstructing the exact optimizer (freeze masks,
+        schedules) it was trained with."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        template = {
+            "params": params_template,
+            "batch_stats": batch_stats_template,
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.PyTreeRestore(item=template, partial_restore=True)
+        )
+        return restored["params"], restored["batch_stats"]
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
