@@ -106,8 +106,10 @@ def main() -> int:
         times.append((time.perf_counter() - t0) / inner)
 
     dt = float(np.median(times))
-    n_chips = max(1, len(set(d.id for d in jax.devices())))
-    ips = batch / dt / n_chips
+    # the jitted pipeline runs on ONE default device (inputs are not
+    # sharded); per-chip throughput is therefore batch/dt regardless of how
+    # many devices happen to be visible
+    ips = batch / dt
 
     paper_m40_ips = 1.0 / 0.122  # RetinaNet-50-800, Lin et al. 2017
     result = {

@@ -45,8 +45,14 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    from tdnet.ops.anchors import AnchorParameters
+
+    anchors = anchor_params_from_args(args)
     bb = backbone_registry(args.backbone)
-    model = bb.retinanet(args.num_classes, dtype=jnp.float32)
+    model = bb.retinanet(
+        args.num_classes, dtype=jnp.float32,
+        num_anchors=(anchors or AnchorParameters.default).num_anchors,
+    )
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     ckpt = Checkpointer(args.snapshot)
     step = args.step if args.step is not None else ckpt.latest_step()
@@ -59,7 +65,7 @@ def main(argv=None) -> int:
         args.model_out,
         model,
         {"params": params, "batch_stats": batch_stats},
-        anchor_params=anchor_params_from_args(args),
+        anchor_params=anchors,
         inference_config={
             "nms": args.nms,
             "class_specific_filter": args.class_specific_filter,

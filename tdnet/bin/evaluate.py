@@ -42,14 +42,20 @@ def parse_args(argv=None):
 def load_any_model(path, args, num_classes, dtype):
     """Load .tdn bundle or orbax snapshot dir -> (model, variables, anchors)."""
     if os.path.isdir(path):
+        from tdnet.ops.anchors import AnchorParameters
+
+        anchors = anchor_params_from_args(args)
         bb = backbone_registry(args.backbone)
-        model = bb.retinanet(num_classes, dtype=dtype)
+        model = bb.retinanet(
+            num_classes, dtype=dtype,
+            num_anchors=(anchors or AnchorParameters.default).num_anchors,
+        )
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         params, batch_stats = Checkpointer(path).restore_weights(
             template["params"], template.get("batch_stats", {})
         )
         variables = {"params": params, "batch_stats": batch_stats}
-        return model, variables, anchor_params_from_args(args), None
+        return model, variables, anchors, None
     model, variables, meta = load_model(path, dtype=dtype)
     anchors = anchor_params_from_args(args) or anchor_params_from_meta(meta)
     return model, variables, anchors, meta

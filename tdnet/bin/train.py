@@ -88,7 +88,10 @@ def main(argv=None) -> int:
 
     bb = backbone_registry(args.backbone)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = bb.retinanet(train_ds.num_classes(), dtype=dtype)
+    from tdnet.ops.anchors import AnchorParameters
+
+    n_anchors = (anchor_params or AnchorParameters.default).num_anchors
+    model = bb.retinanet(train_ds.num_classes(), dtype=dtype, num_anchors=n_anchors)
 
     cfg = LoaderConfig(
         batch_size=args.batch_size,
@@ -136,16 +139,23 @@ def main(argv=None) -> int:
 
     evaluate_fn = None
     if args.evaluation and val_ds is not None:
+        # one Predictor reused across epochs (weights are an argument of its
+        # jitted pipeline, so swapping them does not retrace/recompile)
+        predictor = Predictor(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            anchor_params=anchor_params,
+            min_side=args.image_min_side,
+            max_side=args.image_max_side,
+            preprocess_mode=bb.preprocess_mode,
+            score_threshold=args.score_threshold,
+        )
+
         def evaluate_fn(state):
-            predictor = Predictor(
-                model,
-                {"params": state.params, "batch_stats": state.batch_stats},
-                anchor_params=anchor_params,
-                min_side=args.image_min_side,
-                max_side=args.image_max_side,
-                preprocess_mode=bb.preprocess_mode,
-                score_threshold=args.score_threshold,
-            )
+            predictor.variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            }
             aps = evaluate(val_ds, predictor)
             total = sum(n for _, n in aps.values())
             mAP = (

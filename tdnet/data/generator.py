@@ -116,7 +116,31 @@ class BatchLoader:
         return self.dataset.num_classes()
 
     def steps_per_epoch(self) -> int:
-        return math.ceil(self.dataset.size() / self.config.batch_size)
+        """Batches yielded per epoch() pass — per-BUCKET ceil, since each
+        bucket's final partial batch is repeat-padded separately."""
+        bs = self.config.batch_size
+        counts: dict = {}
+        for idx in range(self.dataset.size()):
+            bkt = self._bucket_for_index(idx)
+            counts[bkt] = counts.get(bkt, 0) + 1
+        return sum(math.ceil(n / bs) for n in counts.values())
+
+    def _bucket_for_index(self, idx: int) -> Tuple[int, int]:
+        bkt = self._bucket_of.get(idx)
+        if bkt is None:
+            ar = self.dataset.image_aspect_ratio(idx)
+            # resized dims under the reference rule
+            if ar >= 1.0:
+                h, w = self.config.min_side, min(
+                    self.config.max_side, int(round(self.config.min_side * ar))
+                )
+            else:
+                w, h = self.config.min_side, min(
+                    self.config.max_side, int(round(self.config.min_side / ar))
+                )
+            bkt = pick_bucket(h, w, self.config.resolved_buckets())
+            self._bucket_of[idx] = bkt
+        return bkt
 
     # ------------------------------------------------------------------ load
 
@@ -171,8 +195,19 @@ class BatchLoader:
         b = len(entries)
         m = self.config.max_boxes
         img_dtype = np.uint8 if self.config.device_normalize else np.float32
+        images = np.zeros((b, bh, bw, 3), dtype=img_dtype)
+        if self.config.device_normalize:
+            # the host path pads AFTER normalization with 0 (= the mean
+            # pixel); match it by padding the raw uint8 canvas with the mean
+            # so in-graph normalization maps padding back to ~0
+            if self.config.preprocess_mode == "caffe":
+                from tdnet.data.image import CAFFE_MEAN_BGR
+
+                images[...] = np.round(CAFFE_MEAN_BGR).astype(np.uint8)
+            else:  # 'tf': normalized 0 corresponds to raw 127.5
+                images[...] = 128
         batch = {
-            "images": np.zeros((b, bh, bw, 3), dtype=img_dtype),
+            "images": images,
             "gt_boxes": np.zeros((b, m, 4), dtype=np.float32),
             "gt_labels": np.zeros((b, m), dtype=np.int32),
             "gt_mask": np.zeros((b, m), dtype=bool),
@@ -204,25 +239,10 @@ class BatchLoader:
         order = np.arange(self.dataset.size())
         if self.config.shuffle:
             self._rng.shuffle(order)
-        buckets = self.config.resolved_buckets()
         groups: dict = {}
         for idx in order:
             idx = int(idx)
-            bkt = self._bucket_of.get(idx)
-            if bkt is None:
-                ar = self.dataset.image_aspect_ratio(idx)
-                # resized dims under the reference rule
-                if ar >= 1.0:
-                    h, w = self.config.min_side, min(
-                        self.config.max_side, int(round(self.config.min_side * ar))
-                    )
-                else:
-                    w, h = self.config.min_side, min(
-                        self.config.max_side, int(round(self.config.min_side / ar))
-                    )
-                bkt = pick_bucket(h, w, buckets)
-                self._bucket_of[idx] = bkt
-            groups.setdefault(bkt, []).append(idx)
+            groups.setdefault(self._bucket_for_index(idx), []).append(idx)
         return list(groups.items())
 
     def __iter__(self) -> Iterator[dict]:

@@ -62,8 +62,12 @@ def soft_nms_rescore(
         out = jnp.where(
             selected, out.at[idx].set(top), out
         )
-        # decay everyone by the selected box's overlap row; remove selection
-        new_remaining = remaining * decay[idx, :]
+        # decay everyone by the selected box's overlap row; remove selection.
+        # -inf "removed" sentinels must stay -inf (linear decay can be
+        # exactly 0 at IoU==1, and -inf * 0 = NaN poisons argmax)
+        new_remaining = jnp.where(
+            jnp.isfinite(remaining), remaining * decay[idx, :], remaining
+        )
         new_remaining = new_remaining.at[idx].set(-jnp.inf)
         remaining = jnp.where(selected, new_remaining, remaining)
         return remaining, out

@@ -176,10 +176,13 @@ def fit(
                 state, metrics = train_step(state, batch)
                 window_images += bsz
 
+                # accumulate ON DEVICE — float() here would force a sync per
+                # step and serialize dispatch; materialize at log time only
                 for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                    sums[k] = sums.get(k, 0.0) + v
 
                 if (step_in_epoch + 1) % batches_per_log == 0:
+                    host_sums = {k: float(v) for k, v in sums.items()}
                     elapsed = time.time() - window_start
                     ips = window_images / max(elapsed, 1e-9)
                     lr = get_learning_rate(state.opt_state)
@@ -189,8 +192,8 @@ def fit(
                         "lr": lr,
                         "images_per_sec": round(ips, 2),
                         **{
-                            k: round(sums[k] / (step_in_epoch + 1), 5)
-                            for k in sums
+                            k: round(host_sums[k] / (step_in_epoch + 1), 5)
+                            for k in host_sums
                         },
                     }
                     print(json.dumps(rec), flush=True)
@@ -198,7 +201,7 @@ def fit(
                     window_start = time.time()
                     window_images = 0
 
-            epoch_loss = sums.get("loss", 0.0) / max(steps_per_epoch, 1)
+            epoch_loss = float(sums.get("loss", 0.0)) / max(steps_per_epoch, 1)
             epoch_rec = {
                 "epoch": epoch,
                 "epoch_loss": round(epoch_loss, 5),

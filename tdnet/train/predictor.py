@@ -65,9 +65,14 @@ class Predictor:
             soft_nms_sigma=soft_nms_sigma,
         )
 
-    @functools.lru_cache(maxsize=8)
     def _pipeline(self, bucket: Tuple[int, int]):
-        """jitted images(1,H,W,3) -> Detections for one bucket shape."""
+        """jitted images(1,H,W,3) -> Detections for one bucket shape.
+
+        Cached per instance (a class-level lru_cache would key on self and
+        pin dead predictors' device weights alive)."""
+        cache = self.__dict__.setdefault("_pipeline_cache", {})
+        if bucket in cache:
+            return cache[bucket]
 
         @jax.jit
         def run(variables, images):
@@ -80,6 +85,7 @@ class Predictor:
                 outputs, bucket, anchor_params=self.anchor_params, **self.det_kwargs
             )
 
+        cache[bucket] = run
         return run
 
     def __call__(self, image_bgr: np.ndarray):
@@ -91,7 +97,16 @@ class Predictor:
             )
             h, w = x.shape[:2]
             bucket = pick_bucket(h, w, self.buckets)
-            canvas = np.zeros((1, bucket[0], bucket[1], 3), dtype=np.uint8)
+            # pad with the mean pixel so in-graph normalization maps the
+            # padding to ~0, matching the host path (which pads after
+            # normalization with zeros)
+            if self.preprocess_mode == "caffe":
+                from tdnet.data.image import CAFFE_MEAN_BGR
+
+                fill = np.round(CAFFE_MEAN_BGR).astype(np.uint8)
+            else:
+                fill = np.uint8(128)
+            canvas = np.full((1, bucket[0], bucket[1], 3), fill, dtype=np.uint8)
             canvas[0, :h, :w, :] = np.clip(x, 0, 255).astype(np.uint8)
         else:
             x = preprocess_image(image_bgr, mode=self.preprocess_mode)
