@@ -36,6 +36,8 @@ def parse_args(argv=None):
     parser.add_argument("--image-min-side", default=800, type=int)
     parser.add_argument("--image-max-side", default=1333, type=int)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--coco", action="store_true",
+                        help="also report COCO-style AP@[.5:.95]/AP50/AP75")
     return parser.parse_args(argv)
 
 
@@ -114,6 +116,17 @@ def main(argv=None) -> int:
     print(f"mAP using the weighted average of precisions among classes: "
           f"{weighted / total_instances:.4f}")
     print(f"mAP: {simple_sum / max(present, 1):.4f}")
+
+    if args.coco:
+        from tdnet.utils.coco_eval import evaluate_coco
+
+        res = evaluate_coco(
+            dataset, predictor,
+            score_threshold=args.score_threshold,
+            max_detections=args.max_detections,
+        )
+        for k, v in res.items():
+            print(f"{k}: {v:.4f}")
     return 0
 
 
