@@ -165,21 +165,24 @@ def main(argv=None) -> int:
 
     batches = prefetch_to_device(loader.forever(), batch_sharding(mesh))
 
-    state = fit(
-        state,
-        train_step,
-        batches,
-        steps_per_epoch=args.steps,
-        epochs=args.epochs,
-        checkpointer=ckpt,
-        evaluate_fn=evaluate_fn,
-        lr_schedule=ReduceLROnPlateau(),
-        metrics_path=args.metrics_path,
-        tensorboard_dir=args.tensorboard_dir,
-        log_every=args.log_every,
-        initial_epoch=initial_epoch,
-        profile_dir=args.profile_dir,
-    )
+    try:
+        state = fit(
+            state,
+            train_step,
+            batches,
+            steps_per_epoch=args.steps,
+            epochs=args.epochs,
+            checkpointer=ckpt,
+            evaluate_fn=evaluate_fn,
+            lr_schedule=ReduceLROnPlateau(),
+            metrics_path=args.metrics_path,
+            tensorboard_dir=args.tensorboard_dir,
+            log_every=args.log_every,
+            initial_epoch=initial_epoch,
+            profile_dir=args.profile_dir,
+        )
+    finally:
+        batches.close()
 
     if args.model_path:
         save_model(

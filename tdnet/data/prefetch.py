@@ -6,6 +6,11 @@ thread runs the host pipeline and eagerly `jax.device_put`s batches with
 their target sharding, keeping >=`buffer_size` batches in flight so the
 device never waits on the host (BASELINE.json north star: host-side
 double-buffered prefetch feeding HBM).
+
+The returned iterator owns its worker thread: `.close()` (also wired to GC
+and generator close) signals the worker to stop, so abandoning the iterator
+mid-stream (e.g. a fixed-steps training loop over an infinite source) does
+not leak a thread parked on a full queue holding device buffers alive.
 """
 
 from __future__ import annotations
@@ -16,45 +21,89 @@ from typing import Iterator, Optional
 
 import jax
 
-__all__ = ["prefetch_to_device"]
+__all__ = ["prefetch_to_device", "DevicePrefetcher"]
 
 _SENTINEL = object()
 
 
+class DevicePrefetcher:
+    """Iterator wrapper; see module docstring."""
+
+    def __init__(self, iterator, sharding=None, buffer_size: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=buffer_size)
+        self._stop = threading.Event()
+        self._err: list = []
+
+        def worker():
+            try:
+                for batch in iterator:
+                    if self._stop.is_set():
+                        return
+                    if sharding is not None:
+                        batch = jax.device_put(batch, sharding)
+                    else:
+                        batch = jax.device_put(batch)
+                    # bounded put that notices close()
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+            except Exception as e:  # propagate into the consumer
+                self._err.append(e)
+            finally:
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(_SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(
+            target=worker, daemon=True, name="tdnet-prefetch"
+        )
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
+        item = self._q.get()
+        if item is _SENTINEL:
+            if self._err:
+                raise self._err[0]
+            raise StopIteration
+        return item
+
+    def close(self) -> None:
+        """Stop the worker and drop buffered batches."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __del__(self):  # best-effort cleanup on GC
+        try:
+            self._stop.set()
+        except Exception:
+            pass
+
+
 def prefetch_to_device(
-    iterator: Iterator[dict],
+    iterator,
     sharding=None,
     buffer_size: int = 2,
-) -> Iterator[dict]:
+) -> "DevicePrefetcher":
     """Wrap a host batch iterator; yields device-resident batches.
 
     `sharding` is a jax.sharding.Sharding (or pytree of them) to place each
     batch with — typically batch-sharded over the 'data' mesh axis
     (parallel/mesh.py). None keeps default device placement.
     """
-    q: queue.Queue = queue.Queue(maxsize=buffer_size)
-    err: list = []
-
-    def worker():
-        try:
-            for batch in iterator:
-                if sharding is not None:
-                    batch = jax.device_put(batch, sharding)
-                else:
-                    batch = jax.device_put(batch)
-                q.put(batch)
-        except Exception as e:  # propagate into the consumer
-            err.append(e)
-        finally:
-            q.put(_SENTINEL)
-
-    t = threading.Thread(target=worker, daemon=True, name="tdnet-prefetch")
-    t.start()
-
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    return DevicePrefetcher(iterator, sharding=sharding, buffer_size=buffer_size)

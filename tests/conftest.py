@@ -15,10 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-# persistent compile cache: the suite is compile-dominated on CPU
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdnet_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# NO persistent compile cache for the CPU suite: XLA:CPU AOT cache entries
+# record host machine features that the loader sometimes rejects/mis-matches
+# ("prefer-no-scatter ... could lead to execution errors such as SIGILL"),
+# causing intermittent hard aborts when cached executables are reloaded.
+# TPU benches keep their own cache (bench.py) where this does not apply.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 # The axon TPU plugin registers itself at interpreter startup
 # (sitecustomize) and ignores JAX_PLATFORMS env alone — force CPU through
