@@ -37,13 +37,23 @@ def parse_args(argv=None):
     parser.add_argument("--image-max-side", default=1333, type=int)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--coco", action="store_true",
-                        help="also report COCO-style AP@[.5:.95]/AP50/AP75")
+                        help="also report the COCO 12-metric summary")
+    parser.add_argument("--no-pallas", dest="use_pallas", action="store_false",
+                        default=None,
+                        help="disable the Pallas NMS kernel (default: on for TPU)")
+    parser.add_argument("--pre-nms-top-k", default=1024, type=int,
+                        help="per-class candidate cap before NMS; raise for "
+                             "parity-harness runs with dense candidates")
+    parser.add_argument("--eval-batch-size", default=None, type=int,
+                        help="batch evaluation images per bucket "
+                             "(default: 16 on TPU, 1 elsewhere)")
     return parser.parse_args(argv)
 
 
 def load_any_model(path, args, num_classes, dtype):
-    """Load .tdn bundle or orbax snapshot dir -> (model, variables, anchors)."""
-    if os.path.isdir(path):
+    """Load a .tdn bundle, orbax snapshot dir, or keras-retinanet .h5
+    -> (model, variables, anchors, meta)."""
+    if os.path.isdir(path) or path.endswith((".h5", ".hdf5")):
         from tdnet.ops.anchors import AnchorParameters
 
         anchors = anchor_params_from_args(args)
@@ -53,10 +63,20 @@ def load_any_model(path, args, num_classes, dtype):
             num_anchors=(anchors or AnchorParameters.default).num_anchors,
         )
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-        params, batch_stats = Checkpointer(path).restore_weights(
-            template["params"], template.get("batch_stats", {})
-        )
-        variables = {"params": params, "batch_stats": batch_stats}
+        if os.path.isdir(path):
+            params, batch_stats = Checkpointer(path).restore_weights(
+                template["params"], template.get("batch_stats", {})
+            )
+            variables = {"params": params, "batch_stats": batch_stats}
+        else:  # reference-trained keras h5 (sub-pixel parity path)
+            from tdnet.train.weights import load_initial_weights
+
+            variables = load_initial_weights(
+                path,
+                {"params": template["params"],
+                 "batch_stats": template.get("batch_stats", {})},
+                backbone_name=args.backbone,
+            )
         return model, variables, anchors, None
     model, variables, meta = load_model(path, dtype=dtype)
     anchors = anchor_params_from_args(args) or anchor_params_from_meta(meta)
@@ -84,6 +104,9 @@ def main(argv=None) -> int:
         nms_threshold=inference.get("nms_threshold", 0.5),
         nms=inference.get("nms", True),
         class_specific_filter=inference.get("class_specific_filter", True),
+        use_pallas=args.use_pallas,
+        pre_nms_top_k=args.pre_nms_top_k,
+        batch_size=args.eval_batch_size,
     )
 
     aps = evaluate(
@@ -118,15 +141,19 @@ def main(argv=None) -> int:
     print(f"mAP: {simple_sum / max(present, 1):.4f}")
 
     if args.coco:
-        from tdnet.utils.coco_eval import evaluate_coco
+        from tdnet.utils.coco_eval import evaluate_coco, summarize_coco
 
         res = evaluate_coco(
             dataset, predictor,
             score_threshold=args.score_threshold,
             max_detections=args.max_detections,
         )
+        print(summarize_coco(res))
         for k, v in res.items():
-            print(f"{k}: {v:.4f}")
+            if k.startswith("AP_") and k not in (
+                "AP_small", "AP_medium", "AP_large"
+            ):
+                print(f"{k}: {v:.4f}")
     return 0
 
 

@@ -33,6 +33,10 @@ def parse_args(argv=None):
     parser.add_argument("--labels", default=None, type=str,
                         help="optional classes.csv for label names")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--no-pallas", dest="use_pallas", action="store_false",
+                        default=None,
+                        help="disable the Pallas NMS kernel (default: on for TPU)")
+    parser.add_argument("--pre-nms-top-k", default=1024, type=int)
     return parser.parse_args(argv)
 
 
@@ -56,6 +60,8 @@ def main(argv=None) -> int:
         nms=inference.get("nms", True),
         class_specific_filter=inference.get("class_specific_filter", True),
         max_detections=inference.get("max_detections", 300),
+        use_pallas=args.use_pallas,
+        pre_nms_top_k=args.pre_nms_top_k,
     )
 
     label_to_name = None

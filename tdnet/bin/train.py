@@ -40,7 +40,9 @@ def parse_args(argv=None):
     add_dataset_args(parser)
 
     parser.add_argument("--backbone", default="resnet50", type=str)
-    parser.add_argument("--batch-size", default=1, type=int)
+    parser.add_argument("--batch-size", default=1, type=int,
+                        help="batch size per host (multi-host runs train on "
+                             "batch_size * num_processes images per step)")
     parser.add_argument("--lr", default=1e-5, type=float)
     parser.add_argument("--clipnorm", default=1e-3, type=float)
     parser.add_argument("--epochs", default=50, type=int)
@@ -48,6 +50,19 @@ def parse_args(argv=None):
     parser.add_argument("--snapshot-path", default="./snapshots", type=str)
     parser.add_argument("--snapshot", default=None, type=str,
                         help="resume from a snapshot directory")
+    parser.add_argument("--weights", default=None, type=str,
+                        help="initialize weights from a .tdn bundle, a "
+                             "keras-retinanet .h5, or a snapshot directory "
+                             "(reference: bin/train.py --weights)")
+    parser.add_argument("--imagenet-weights", action="store_true",
+                        help="initialize the backbone from a locally cached "
+                             "ImageNet h5 (reference: download_imagenet; "
+                             "zero-egress here, so the file must exist under "
+                             "~/.keras/models or $TDNET_PRETRAINED_DIR)")
+    parser.add_argument("--bn-warmup", default=0, type=int, metavar="N",
+                        help="re-estimate frozen BatchNorm statistics from N "
+                             "batches before training (from-scratch aid when "
+                             "no pretrained weights are available)")
     parser.add_argument("--model-path", default=None, type=str,
                         help="write a deployable .tdn at the end")
     parser.add_argument("--no-snapshots", dest="snapshots", action="store_false")
@@ -74,11 +89,48 @@ def parse_args(argv=None):
                         help="capture a jax profiler trace of epoch 2")
     parser.add_argument("--nan-check", action="store_true",
                         help="enable jax_debug_nans (SURVEY.md §6 sanitizer analog)")
+    parser.add_argument("--no-pallas", dest="use_pallas", action="store_false",
+                        default=None,
+                        help="disable the Pallas NMS kernel in per-epoch eval "
+                             "(default: on for TPU)")
+    parser.add_argument("--eval-batch-size", default=None, type=int,
+                        help="per-epoch eval batch size (default: 16 on TPU)")
+    parser.add_argument("--workers", default=1, type=int,
+                        help="host decode/augment threads per batch "
+                             "(reference: fit_generator workers=N; <=1 is "
+                             "synchronous inside the prefetch thread)")
+    parser.add_argument("--distributed", default=None, type=str,
+                        metavar="COORD:PORT,NPROC,RANK",
+                        help="multi-host bring-up, e.g. 10.0.0.1:1234,4,0 — "
+                             "calls jax.distributed.initialize; each host "
+                             "then loads its own dataset shard")
     return parser.parse_args(argv)
+
+
+def _maybe_init_distributed(spec):
+    """Parse --distributed 'coordinator:port,num_processes,process_id' and
+    initialize BEFORE the first device query (SURVEY.md §2.4 multi-host)."""
+    if not spec:
+        return
+    from tdnet.parallel.mesh import initialize_distributed
+
+    try:
+        coord, nproc, rank = spec.rsplit(",", 2)
+        initialize_distributed(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(rank),
+        )
+    except ValueError as e:
+        raise SystemExit(
+            f"--distributed expects 'coordinator:port,num_processes,"
+            f"process_id', got {spec!r} ({e})"
+        )
 
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    _maybe_init_distributed(args.distributed)
     if args.nan_check:
         jax.config.update("jax_debug_nans", True)
 
@@ -102,14 +154,22 @@ def main(argv=None) -> int:
         device_normalize=args.device_normalize,
         random_transform=args.random_transform,
         seed=args.seed,
+        workers=args.workers,
     )
     loader = BatchLoader(train_ds, cfg)
 
     mesh = create_mesh()
-    if args.batch_size % len(mesh.devices.flat) != 0 and len(mesh.devices.flat) > 1:
+    global_batch = args.batch_size * jax.process_count()
+    n_dev = len(mesh.devices.flat)
+    if global_batch % n_dev != 0 and n_dev > 1:
+        if jax.process_count() > 1:
+            raise SystemExit(
+                f"global batch {global_batch} (= {args.batch_size}/host x "
+                f"{jax.process_count()} hosts) must divide {n_dev} devices"
+            )
         print(
             f"warning: batch size {args.batch_size} not divisible by "
-            f"{len(mesh.devices.flat)} devices; falling back to single device",
+            f"{n_dev} devices; falling back to single device",
             file=sys.stderr,
         )
         mesh = create_mesh(jax.devices()[:1])
@@ -122,6 +182,38 @@ def main(argv=None) -> int:
         tx=create_optimizer(args.lr, args.clipnorm),
         freeze_backbone=args.freeze_backbone,
     )
+
+    # initial weights (reference: create_models --weights/--imagenet-weights;
+    # --snapshot resume below takes precedence over both)
+    weights_path = args.weights
+    if weights_path is None and args.imagenet_weights:
+        from tdnet.train.weights import imagenet_weights_or_explain
+
+        weights_path = imagenet_weights_or_explain(args.backbone)
+    if weights_path:
+        from tdnet.train.weights import load_initial_weights
+
+        loaded = load_initial_weights(
+            weights_path,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            backbone_name=args.backbone,
+        )
+        state = state.replace(
+            params=loaded["params"], batch_stats=loaded["batch_stats"]
+        )
+
+    if args.bn_warmup > 0 and not args.snapshot:
+        from tdnet.train.weights import bn_warmup
+
+        warmed = bn_warmup(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            loader.forever(),
+            num_batches=args.bn_warmup,
+            preprocess_mode=bb.preprocess_mode,
+        )
+        state = state.replace(batch_stats=warmed["batch_stats"])
+
     state = jax.device_put(state, replicated_sharding(mesh))
 
     ckpt = Checkpointer(args.snapshot_path) if args.snapshots else None
@@ -149,6 +241,8 @@ def main(argv=None) -> int:
             max_side=args.image_max_side,
             preprocess_mode=bb.preprocess_mode,
             score_threshold=args.score_threshold,
+            use_pallas=args.use_pallas,
+            batch_size=args.eval_batch_size,
         )
 
         def evaluate_fn(state):
@@ -157,11 +251,16 @@ def main(argv=None) -> int:
                 "batch_stats": state.batch_stats,
             }
             aps = evaluate(val_ds, predictor)
-            total = sum(n for _, n in aps.values())
-            mAP = (
-                sum(ap * n for ap, n in aps.values()) / total if total else 0.0
+            # 'mAP' is the UNWEIGHTED class mean — the reference Evaluate
+            # callback's default (weighted only behind --weighted-average);
+            # the annotation-weighted value is logged under its own key.
+            present = [(ap, n) for ap, n in aps.values() if n > 0]
+            mAP = sum(ap for ap, _ in present) / len(present) if present else 0.0
+            total = sum(n for _, n in present)
+            weighted = (
+                sum(ap * n for ap, n in present) / total if total else 0.0
             )
-            return {"mAP": mAP}
+            return {"mAP": mAP, "weighted_mAP": weighted}
 
     batches = prefetch_to_device(loader.forever(), batch_sharding(mesh))
 
@@ -183,6 +282,7 @@ def main(argv=None) -> int:
         )
     finally:
         batches.close()
+        loader.close()
 
     if args.model_path:
         save_model(

@@ -54,11 +54,15 @@ def default_buckets(min_side: int = 800, max_side: int = 1333) -> List[Tuple[int
 
 
 def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]]) -> Tuple[int, int]:
-    """Smallest-area bucket that fits (h, w); falls back to the max canvas."""
+    """Smallest-area bucket that fits (h, w)."""
     fitting = [b for b in buckets if b[0] >= h and b[1] >= w]
     if fitting:
         return min(fitting, key=lambda b: b[0] * b[1])
-    return max(buckets, key=lambda b: b[0] * b[1])
+    raise ValueError(
+        f"image of resized shape ({h}, {w}) fits no configured bucket "
+        f"{list(buckets)}; add a bucket of at least that size (buckets must "
+        "cover every shape the resize rule can produce)"
+    )
 
 
 @dataclass
@@ -77,6 +81,16 @@ class LoaderConfig:
     # augmentation (reference bin/train.py --random-transform defaults)
     random_transform: bool = False
     transform_parameters: TransformParameters = field(default_factory=TransformParameters)
+    # multi-host input sharding (SURVEY.md §2.4 "per-host sharded file
+    # lists"): each process loads only its strided slice of every epoch's
+    # (identically seeded, hence identically shuffled) index order. None =
+    # resolve from jax.process_index()/process_count() at loader build.
+    process_index: Optional[int] = None
+    process_count: Optional[int] = None
+    # host decode/augment parallelism (reference fit_generator workers=N,
+    # use_multiprocessing; cv2/PIL release the GIL so threads suffice).
+    # 0 = synchronous in the iterator thread.
+    workers: int = 0
 
     def resolved_buckets(self) -> List[Tuple[int, int]]:
         return self.buckets or default_buckets(self.min_side, self.max_side)
@@ -92,6 +106,23 @@ class BatchLoader:
         self.dataset = dataset
         self.config = config
         self._rng = np.random.RandomState(config.seed)
+        if config.process_count is None or config.process_index is None:
+            import jax
+
+            self.process_index = jax.process_index()
+            self.process_count = jax.process_count()
+        else:
+            self.process_index = config.process_index
+            self.process_count = config.process_count
+        self._pool = None
+        # workers <= 1 stays synchronous: the prefetch thread already
+        # overlaps one batch of host work with device compute
+        if config.workers and config.workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=config.workers, thread_name_prefix="tdnet-loader"
+            )
         if config.random_transform:
             # reference --random-transform defaults (bin/train.py)
             self._transform_gen = random_transform_generator(
@@ -116,11 +147,13 @@ class BatchLoader:
         return self.dataset.num_classes()
 
     def steps_per_epoch(self) -> int:
-        """Batches yielded per epoch() pass — per-BUCKET ceil, since each
-        bucket's final partial batch is repeat-padded separately."""
+        """Batches yielded per epoch() pass ON THIS PROCESS — per-BUCKET
+        ceil over this host's index shard, since each bucket's final partial
+        batch is repeat-padded separately."""
         bs = self.config.batch_size
         counts: dict = {}
-        for idx in range(self.dataset.size()):
+        for idx in range(self.process_index, self.dataset.size(),
+                         self.process_count):
             bkt = self._bucket_for_index(idx)
             counts[bkt] = counts.get(bkt, 0) + 1
         return sum(math.ceil(n / bs) for n in counts.values())
@@ -144,9 +177,12 @@ class BatchLoader:
 
     # ------------------------------------------------------------------ load
 
-    def _load_entry(self, index: int):
+    def _load_entry(self, index: int, transform=None):
         """Load + augment + resize + normalize one image; returns
-        (image f32, boxes (m,4) f32, labels (m,) i32, scale)."""
+        (image f32, boxes (m,4) f32, labels (m,) i32, scale).
+
+        `transform` is the pre-drawn augmentation matrix (drawn sequentially
+        by the iterator so worker threads don't race the transform PRNG)."""
         image = self.dataset.load_image(index)
         ann = self.dataset.load_annotations(index)
         boxes = ann["bboxes"].astype(np.float64).copy()
@@ -165,9 +201,9 @@ class BatchLoader:
             )
             boxes, labels = boxes[keep], labels[keep]
 
-        if self._transform_gen is not None:
+        if transform is not None:
             t = adjust_transform_for_image(
-                next(self._transform_gen),
+                transform,
                 image,
                 self.config.transform_parameters.relative_translation,
             )
@@ -235,10 +271,16 @@ class BatchLoader:
     # ------------------------------------------------------------ iteration
 
     def _epoch_groups(self) -> List[Tuple[Tuple[int, int], List[int]]]:
-        """Group this epoch's indices by bucket (aspect ratio decides)."""
+        """Group this epoch's indices by bucket (aspect ratio decides).
+
+        Multi-host: every process draws the SAME shuffled order (identical
+        seed) and keeps its strided slice, so the union over processes
+        partitions the epoch exactly (SURVEY.md §2.4)."""
         order = np.arange(self.dataset.size())
         if self.config.shuffle:
             self._rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
         groups: dict = {}
         for idx in order:
             idx = int(idx)
@@ -249,8 +291,10 @@ class BatchLoader:
         return self.epoch()
 
     def epoch(self) -> Iterator[dict]:
-        """One pass over the dataset; final partial batch of each bucket is
-        repeated-padded to full batch_size (mask via `indices` uniqueness)."""
+        """One pass over this process's dataset shard; final partial batch of
+        each bucket is repeated-padded to full batch_size (mask via `indices`
+        uniqueness). With config.workers > 0, decode/augment/resize of a
+        batch's images runs on the thread pool (cv2/PIL drop the GIL)."""
         bs = self.config.batch_size
         for bucket, idxs in self._epoch_groups():
             for start in range(0, len(idxs), bs):
@@ -258,9 +302,30 @@ class BatchLoader:
                 # pad final chunk to static batch size by repeating
                 while len(chunk) < bs:
                     chunk = chunk + chunk[: bs - len(chunk)]
-                entries = [self._load_entry(i) for i in chunk]
+                # draw augmentation transforms sequentially (determinism)
+                transforms = [
+                    next(self._transform_gen) if self._transform_gen else None
+                    for _ in chunk
+                ]
+                if self._pool is not None:
+                    entries = list(self._pool.map(self._load_entry, chunk, transforms))
+                else:
+                    entries = [
+                        self._load_entry(i, t) for i, t in zip(chunk, transforms)
+                    ]
                 yield self._assemble(entries, chunk, bucket)
 
     def forever(self) -> Iterator[dict]:
         while True:
             yield from self.epoch()
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort pool cleanup
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -40,7 +40,10 @@ class DevicePrefetcher:
                     if self._stop.is_set():
                         return
                     if sharding is not None:
-                        batch = jax.device_put(batch, sharding)
+                        # multi-host aware: local shard -> global array
+                        from tdnet.parallel.mesh import make_global_batch
+
+                        batch = make_global_batch(batch, sharding)
                     else:
                         batch = jax.device_put(batch)
                     # bounded put that notices close()
@@ -69,9 +72,17 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
-        if self._stop.is_set():
-            raise StopIteration
-        item = self._q.get()
+        # bounded get that re-checks _stop: if close() lands while we are
+        # blocked (the worker's finally may skip the sentinel once stopped),
+        # we wake up instead of hanging forever on an empty queue
+        while True:
+            if self._stop.is_set():
+                raise StopIteration
+            try:
+                item = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                continue
         if item is _SENTINEL:
             if self._err:
                 raise self._err[0]

@@ -47,7 +47,7 @@ def detections_from_outputs(
     max_detections: int = 300,
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
     soft_nms_sigma: float = 0.0,
 ) -> Detections:
     """Full inference tail for a batch of model outputs.
@@ -61,7 +61,10 @@ def detections_from_outputs(
     if classification_is_logits:
         scores = jax.nn.sigmoid(scores)
 
-    from tdnet.ops.nms import batched_filter_detections
+    from tdnet.ops.nms import batched_filter_detections, default_use_pallas
+
+    if use_pallas is None:  # Pallas kernel on TPU by default
+        use_pallas = default_use_pallas()
 
     return batched_filter_detections(
         boxes,

@@ -48,6 +48,14 @@ class FrozenBatchNorm(nn.Module):
             scale = jax.lax.stop_gradient(scale)
             bias = jax.lax.stop_gradient(bias)
 
+        # BN warm-up support (train/weights.py bn_warmup): expose this
+        # batch's input moments. sow() is a no-op (and the moments DCE away)
+        # unless apply() marks the 'bn_warmup' collection mutable.
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        self.sow("bn_warmup", "mean", jnp.mean(xf, axis=axes))
+        self.sow("bn_warmup", "sq_mean", jnp.mean(jnp.square(xf), axis=axes))
+
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
         offset = bias - mean * inv
         return x * inv.astype(self.dtype) + offset.astype(self.dtype)

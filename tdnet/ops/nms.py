@@ -34,7 +34,20 @@ import jax.numpy as jnp
 
 from tdnet.ops.boxes import box_iou
 
-__all__ = ["non_max_suppression", "filter_detections", "Detections"]
+__all__ = [
+    "non_max_suppression",
+    "filter_detections",
+    "Detections",
+    "default_use_pallas",
+]
+
+
+def default_use_pallas() -> bool:
+    """Product-surface default for the NMS implementation: the tiled Pallas
+    kernel on TPU (the flagship device-side NMS, BASELINE.json north star),
+    the jnp fixpoint elsewhere (CPU/GPU have no Pallas TPU lowering).
+    Results are bit-identical by contract (tested)."""
+    return jax.default_backend() == "tpu"
 
 
 class Detections(NamedTuple):

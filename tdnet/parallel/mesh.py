@@ -26,6 +26,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "make_global_batch",
     "initialize_distributed",
 ]
 
@@ -68,3 +69,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch dict with every array batch-sharded on 'data'."""
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def make_global_batch(batch, sharding) -> dict:
+    """Assemble a PROCESS-LOCAL host batch into globally sharded arrays.
+
+    Single-process this is plain device_put; multi-host, each process
+    contributes its local shard (its slice of the per-host sharded dataset —
+    data/generator.py) and the result is a global jax.Array spanning the
+    mesh, so the same pjit train step works on 1 chip, a v5e slice, and a
+    multi-host DCN deployment (SURVEY.md §2.4/§6)."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )

@@ -39,11 +39,17 @@ class Predictor:
         nms: bool = True,
         class_specific_filter: bool = True,
         pre_nms_top_k: int = 1024,
-        use_pallas: bool = False,
+        use_pallas: Optional[bool] = None,
         soft_nms_sigma: float = 0.0,
         device_preprocess: bool = False,
+        batch_size: Optional[int] = None,
     ):
         self.model = model
+        # predict_batch batch size: the per-image reference loop (§4.3) left
+        # ~30x throughput on the table on TPU; default to batched eval there
+        if batch_size is None:
+            batch_size = 16 if jax.default_backend() == "tpu" else 1
+        self.batch_size = batch_size
         # commit weights to device ONCE — numpy leaves (e.g. fresh from a
         # .tdn load) would otherwise re-upload ~150MB on every jitted call
         self.variables = jax.device_put(variables)
@@ -88,15 +94,14 @@ class Predictor:
         cache[bucket] = run
         return run
 
-    def __call__(self, image_bgr: np.ndarray):
-        """Predict on one raw float32 BGR image. Returns (boxes (D,4),
-        scores (D,), labels (D,)) in original image coordinates, -1-padded."""
+    def _prepare(self, image_bgr: np.ndarray):
+        """Host preprocess one raw BGR image -> (canvas (H,W,3), scale, bucket)."""
         if self.device_preprocess:
             x, scale = resize_image(
                 image_bgr, min_side=self.min_side, max_side=self.max_side
             )
             h, w = x.shape[:2]
-            bucket = pick_bucket(h, w, self.buckets)
+            bucket = tuple(pick_bucket(h, w, self.buckets))
             # pad with the mean pixel so in-graph normalization maps the
             # padding to ~0, matching the host path (which pads after
             # normalization with zeros)
@@ -106,20 +111,48 @@ class Predictor:
                 fill = np.round(CAFFE_MEAN_BGR).astype(np.uint8)
             else:
                 fill = np.uint8(128)
-            canvas = np.full((1, bucket[0], bucket[1], 3), fill, dtype=np.uint8)
-            canvas[0, :h, :w, :] = np.clip(x, 0, 255).astype(np.uint8)
+            canvas = np.full((bucket[0], bucket[1], 3), fill, dtype=np.uint8)
+            canvas[:h, :w, :] = np.clip(x, 0, 255).astype(np.uint8)
         else:
             x = preprocess_image(image_bgr, mode=self.preprocess_mode)
             x, scale = resize_image(x, min_side=self.min_side, max_side=self.max_side)
             h, w = x.shape[:2]
-            bucket = pick_bucket(h, w, self.buckets)
-            canvas = np.zeros((1, bucket[0], bucket[1], 3), dtype=np.float32)
-            canvas[0, :h, :w, :] = x
+            bucket = tuple(pick_bucket(h, w, self.buckets))
+            canvas = np.zeros((bucket[0], bucket[1], 3), dtype=np.float32)
+            canvas[:h, :w, :] = x
+        return canvas, scale, bucket
 
-        det = self._pipeline(tuple(bucket))(self.variables, jnp.asarray(canvas))
-        boxes = np.asarray(det.boxes[0], np.float64)
-        scores = np.asarray(det.scores[0], np.float64)
-        labels = np.asarray(det.labels[0], np.int64)
-        valid = scores > -1
-        boxes[valid] /= scale  # host-side rescale (reference §4.2)
-        return boxes, scores, labels
+    def __call__(self, image_bgr: np.ndarray):
+        """Predict on one raw float32 BGR image. Returns (boxes (D,4),
+        scores (D,), labels (D,)) in original image coordinates, -1-padded."""
+        return self.predict_batch([image_bgr])[0]
+
+    def predict_batch(self, images_bgr):
+        """Predict on a list of raw BGR images with one device dispatch per
+        shape bucket (the batched replacement for the reference's per-image
+        predict_on_batch loop, SURVEY.md §4.3). Returns a list of
+        (boxes, scores, labels) aligned with the input order."""
+        prepped = [self._prepare(img) for img in images_bgr]
+        groups: dict = {}
+        for i, (_, _, bucket) in enumerate(prepped):
+            groups.setdefault(bucket, []).append(i)
+
+        out = [None] * len(prepped)
+        for bucket, idxs in groups.items():
+            # pad the sub-batch up to a power of two so each bucket compiles
+            # at most log2(max batch)+1 executables regardless of chunk sizes
+            n = len(idxs)
+            padded_n = 1 << (n - 1).bit_length() if n > 1 else 1
+            stack = np.stack(
+                [prepped[i][0] for i in idxs]
+                + [prepped[idxs[0]][0]] * (padded_n - n)
+            )
+            det = self._pipeline(bucket)(self.variables, jnp.asarray(stack))
+            boxes = np.asarray(det.boxes, np.float64)
+            scores = np.asarray(det.scores, np.float64)
+            labels = np.asarray(det.labels, np.int64)
+            for j, i in enumerate(idxs):
+                b, s, l = boxes[j], scores[j], labels[j]
+                b[s > -1] /= prepped[i][1]  # host-side rescale (reference §4.2)
+                out[i] = (b, s, l)
+        return out

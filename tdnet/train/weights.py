@@ -1,0 +1,248 @@
+"""Initial-weight loading for training and evaluation.
+
+The reference initializes training from pretrained weights (reference:
+bin/train.py create_models ~L90-130 — `--weights` / `--imagenet-weights` /
+`--snapshot`; models/resnet.py download_imagenet). tdnet accepts:
+
+  *.tdn            deployable bundle (models/io.py)
+  *.h5 / *.hdf5    keras-retinanet training snapshot OR a keras-resnet
+                   ImageNet backbone h5 (compat/keras_import.py)
+  directory        orbax snapshot (weights only; optimizer state is NOT
+                   restored — use --snapshot for a full resume)
+
+Keras `load_weights(by_name=True, skip_mismatch=True)` semantics are kept:
+weights that match by name and shape are loaded, the rest keep their init
+values, and a summary of skips is printed.
+
+Zero-egress environments usually have no ImageNet h5 on disk; the fallback
+story is `bn_warmup` — FrozenBatchNorm pins normalization to stored
+statistics (mean 0 / var 1 at init, i.e. a plain affine), so from-scratch
+training is far better conditioned after re-estimating those statistics
+from a few hundred real batches (the "BN stats from data" warm-up).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "load_initial_weights",
+    "find_imagenet_weights",
+    "bn_warmup",
+    "IMAGENET_SEARCH_DIRS",
+]
+
+# Where keras-resnet's download_imagenet would have cached its h5
+# (reference: models/resnet.py download_imagenet -> keras get_file cache).
+IMAGENET_SEARCH_DIRS = [
+    os.path.expanduser("~/.keras/models"),
+    os.environ.get("TDNET_PRETRAINED_DIR", ""),
+    "./pretrained",
+]
+
+_IMAGENET_FILENAMES = {
+    "resnet50": ["ResNet-50-model.keras.h5", "resnet50_imagenet.h5"],
+    "resnet101": ["ResNet-101-model.keras.h5", "resnet101_imagenet.h5"],
+    "resnet152": ["ResNet-152-model.keras.h5", "resnet152_imagenet.h5"],
+}
+
+
+def find_imagenet_weights(backbone_name: str) -> Optional[str]:
+    """Locate a locally cached ImageNet h5 for `backbone_name`, or None."""
+    for directory in IMAGENET_SEARCH_DIRS:
+        if not directory or not os.path.isdir(directory):
+            continue
+        for fname in _IMAGENET_FILENAMES.get(backbone_name, []):
+            path = os.path.join(directory, fname)
+            if os.path.isfile(path):
+                return path
+    return None
+
+
+def _shapes_match(dst, src) -> bool:
+    return tuple(np.shape(dst)) == tuple(np.shape(src))
+
+
+def _merge_matching(template: Dict, loaded: Dict, skipped: list, prefix=()):
+    """Copy loaded leaves over template leaves where names+shapes agree
+    (Keras by_name=True, skip_mismatch=True semantics)."""
+    out = {}
+    for key, tval in template.items():
+        if key not in loaded:
+            out[key] = tval
+            continue
+        lval = loaded[key]
+        if isinstance(tval, dict) or hasattr(tval, "items"):
+            out[key] = _merge_matching(dict(tval), dict(lval), skipped, prefix + (key,))
+        elif _shapes_match(tval, lval):
+            out[key] = jnp.asarray(np.asarray(lval), dtype=jnp.asarray(tval).dtype)
+        else:
+            skipped.append(
+                "/".join(prefix + (key,))
+                + f": shape {np.shape(lval)} != {np.shape(tval)}"
+            )
+            out[key] = tval
+    return out
+
+
+def load_initial_weights(
+    path: str,
+    variables: Dict[str, Any],
+    backbone_name: str = "resnet50",
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Load weights from `path` into a copy of `variables` (the template
+    produced by model.init). Returns {'params': ..., 'batch_stats': ...}.
+
+    Reference behavior being matched: bin/train.py create_models
+    `model.load_weights(weights, by_name=True, skip_mismatch=True)`.
+    """
+    template = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+
+    if os.path.isdir(path):  # orbax snapshot: weights only
+        from tdnet.train.checkpoint import Checkpointer
+
+        params, batch_stats = Checkpointer(path).restore_weights(
+            template["params"], template["batch_stats"]
+        )
+        if verbose:
+            print(f"loaded weights from snapshot {path}")
+        return {"params": params, "batch_stats": batch_stats}
+
+    if path.endswith(".tdn"):
+        from tdnet.models.io import load_model
+
+        _, loaded_vars, _ = load_model(path)
+        skipped: list = []
+        merged = _merge_matching(
+            {"params": _plain(template["params"]),
+             "batch_stats": _plain(template["batch_stats"])},
+            {"params": _plain(loaded_vars["params"]),
+             "batch_stats": _plain(loaded_vars.get("batch_stats", {}))},
+            skipped,
+        )
+        if verbose:
+            print(f"loaded weights from {path}" +
+                  (f"; skipped {len(skipped)} mismatched: {skipped[:5]}" if skipped else ""))
+        return merged
+
+    if path.endswith((".h5", ".hdf5")):
+        from tdnet.compat.keras_import import load_keras_retinanet_h5
+
+        return load_keras_retinanet_h5(
+            path, template, backbone_name=backbone_name, strict=False,
+            verbose=verbose,
+        )
+
+    raise ValueError(
+        f"unrecognized weights file {path!r} (expected .tdn, .h5/.hdf5, or "
+        "an orbax snapshot directory)"
+    )
+
+
+def imagenet_weights_or_explain(backbone_name: str) -> str:
+    """Resolve --imagenet-weights to a local path or raise with the recipe."""
+    path = find_imagenet_weights(backbone_name)
+    if path:
+        return path
+    raise FileNotFoundError(
+        f"no local ImageNet weights found for {backbone_name!r} (searched "
+        f"{[d for d in IMAGENET_SEARCH_DIRS if d]} for "
+        f"{_IMAGENET_FILENAMES.get(backbone_name)}). This environment has no "
+        "network egress; either (a) place the keras-resnet release h5 (e.g. "
+        "ResNet-50-model.keras.h5) in one of those directories or set "
+        "TDNET_PRETRAINED_DIR, or (b) train with --bn-warmup N to estimate "
+        "BatchNorm statistics from N batches of your data instead."
+    )
+
+
+def _plain(tree):
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        return {k: _plain(v) for k, v in tree.items()}
+    return tree
+
+
+def bn_warmup(
+    model,
+    variables: Dict[str, Any],
+    batches: Iterable[dict],
+    num_batches: int = 100,
+    preprocess_mode: str = "caffe",
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Re-estimate FrozenBatchNorm statistics from data.
+
+    FrozenBatchNorm normalizes with stored (mean, var) — (0, 1) at random
+    init, i.e. no normalization at all. This runs `num_batches` forward
+    passes with the 'bn_warmup' collection mutable (models/layers.py sows
+    per-BN input moments), averages the moments, and writes them into
+    batch_stats: mean = E[x], var = E[x^2] - E[x]^2.
+
+    The estimate is sequential-affected (later BNs see activations computed
+    with the OLD stats of earlier BNs), so it is an initialization aid, not
+    a substitute for pretrained weights — but it restores the conditioning
+    the reference gets from ImageNet BN statistics.
+    """
+    sums = None
+    count = 0
+
+    @jax.jit
+    def forward(vars_, images):
+        if images.dtype == jnp.uint8:
+            from tdnet.data.image import preprocess_image_device
+
+            images = preprocess_image_device(images, preprocess_mode)
+        _, aux = model.apply(vars_, images, mutable=["bn_warmup"])
+        # each sow leaf is a 1-tuple (single call per module per trace)
+        return jax.tree_util.tree_map(
+            lambda t: t[0] if isinstance(t, tuple) else t,
+            aux["bn_warmup"],
+            is_leaf=lambda t: isinstance(t, tuple),
+        )
+
+    it = iter(batches)
+    for _ in range(num_batches):
+        try:
+            batch = next(it)
+        except StopIteration:
+            break
+        images = batch["images"] if isinstance(batch, dict) else batch
+        moments = jax.device_get(forward(variables, jnp.asarray(images)))
+        if sums is None:
+            sums = jax.tree_util.tree_map(np.asarray, moments)
+        else:
+            sums = jax.tree_util.tree_map(np.add, sums, moments)
+        count += 1
+
+    if count == 0:
+        raise ValueError("bn_warmup got no batches")
+
+    means = jax.tree_util.tree_map(lambda s: s / count, sums)
+
+    # rewrite batch_stats: each BN scope holds {'mean', 'var'} in
+    # batch_stats and {'mean', 'sq_mean'} in the sown collection
+    def rebuild(stats_node, moments_node):
+        if "mean" in moments_node and "sq_mean" in moments_node and not isinstance(
+            moments_node["mean"], dict
+        ):
+            mean = moments_node["mean"]
+            var = np.maximum(moments_node["sq_mean"] - mean * mean, 1e-6)
+            return {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}
+        return {
+            k: rebuild(stats_node[k], moments_node[k]) if k in moments_node
+            else stats_node[k]
+            for k in stats_node
+        }
+
+    new_stats = rebuild(_plain(variables.get("batch_stats", {})), means)
+    if verbose:
+        print(f"bn_warmup: re-estimated BatchNorm statistics from {count} batches")
+    return {"params": variables["params"], "batch_stats": new_stats}

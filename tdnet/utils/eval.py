@@ -43,22 +43,37 @@ def _get_detections(dataset, predictor, score_threshold, max_detections):
     all_detections = [
         [None for _ in range(num_classes)] for _ in range(dataset.size())
     ]
-    for i in range(dataset.size()):
-        image = dataset.load_image(i)
-        boxes, scores, labels = predictor(image)
+
+    # Batched path: a Predictor exposing predict_batch runs one device
+    # dispatch per shape bucket per chunk instead of the reference's
+    # per-image predict_on_batch loop (SURVEY.md §4.3) — same results,
+    # ~batch_size x fewer dispatches.
+    batch_size = int(getattr(predictor, "batch_size", 1) or 1)
+    predict_batch = getattr(predictor, "predict_batch", None)
+
+    def record(i, boxes, scores, labels):
         boxes = np.asarray(boxes, np.float64)
         scores = np.asarray(scores, np.float64)
         labels = np.asarray(labels, np.int64)
-
         keep = scores > score_threshold
         boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
         order = np.argsort(-scores, kind="stable")[:max_detections]
         boxes, scores, labels = boxes[order], scores[order], labels[order]
-
         dets = np.concatenate([boxes, scores[:, None]], axis=1)
         for label in range(num_classes):
             if dataset.has_label(label):
                 all_detections[i][label] = dets[labels == label]
+
+    if predict_batch is not None and batch_size > 1:
+        for start in range(0, dataset.size(), batch_size):
+            idxs = list(range(start, min(start + batch_size, dataset.size())))
+            images = [dataset.load_image(i) for i in idxs]
+            for i, (boxes, scores, labels) in zip(idxs, predict_batch(images)):
+                record(i, boxes, scores, labels)
+    else:
+        for i in range(dataset.size()):
+            boxes, scores, labels = predictor(dataset.load_image(i))
+            record(i, boxes, scores, labels)
     return all_detections
 
 

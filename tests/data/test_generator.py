@@ -48,7 +48,9 @@ def test_pick_bucket_smallest_fitting():
     buckets = [(832, 1344), (1344, 832), (1344, 1344)]
     assert pick_bucket(800, 1200, buckets) == (832, 1344)
     assert pick_bucket(1200, 800, buckets) == (1344, 832)
-    assert pick_bucket(2000, 2000, buckets) == (1344, 1344)  # fallback: max
+    import pytest
+    with pytest.raises(ValueError, match="fits no configured bucket"):
+        pick_bucket(2000, 2000, buckets)  # nothing fits -> clear error
 
 
 def test_batch_shapes_and_padding():

@@ -1,9 +1,15 @@
-"""COCO-style mAP@[.5:.95] evaluator tests."""
+"""COCO 12-metric evaluator tests (pycocotools-faithful semantics)."""
 
 import numpy as np
 import pytest
 
-from tdnet.utils.coco_eval import _ap_101, evaluate_coco
+from tdnet.utils.coco_eval import (
+    AREA_RANGES,
+    _accumulate,
+    _match_image,
+    evaluate_coco,
+    summarize_coco,
+)
 
 
 class TinyDataset:
@@ -42,6 +48,12 @@ def test_perfect_predictor_ap_one():
     assert res["AP50"] == pytest.approx(1.0)
     assert res["AP75"] == pytest.approx(1.0)
     assert res["AP_table"] == pytest.approx(1.0)
+    assert res["AR100"] == pytest.approx(1.0)
+    assert res["AR1"] == pytest.approx(1.0)  # one GT per image
+    # GT areas are 1600 and 3600: both 'medium' (32^2..96^2)
+    assert res["AP_medium"] == pytest.approx(1.0)
+    assert res["AP_small"] == -1.0  # nothing to evaluate -> COCOeval -1
+    assert res["AP_large"] == -1.0
 
 
 def test_loose_boxes_pass_low_iou_only():
@@ -59,13 +71,6 @@ def test_loose_boxes_pass_low_iou_only():
     assert 0.2 < res["AP"] < 0.8  # some thresholds pass, some fail
 
 
-def test_ap_101_monotone_envelope():
-    assert _ap_101(np.array([1.0]), np.array([1.0])) == pytest.approx(1.0)
-    # precision recovers later: envelope back-fills
-    ap = _ap_101(np.array([0.5, 1.0]), np.array([0.5, 0.8]))
-    assert ap == pytest.approx(np.mean([0.8] * 101), abs=0.02)
-
-
 def test_no_detections_zero_ap():
     ds = TinyDataset()
 
@@ -74,3 +79,80 @@ def test_no_detections_zero_ap():
 
     res = evaluate_coco(ds, predictor)
     assert res["AP"] == 0.0
+    assert res["AR100"] == 0.0
+
+
+def test_match_best_unmatched_gt_not_argmax():
+    """pycocotools semantics (ADVICE round-1 #2): a detection whose
+    highest-IoU GT is already taken still matches another GT above the
+    threshold instead of counting FP."""
+    # two overlapping GTs; det0 takes gt0; det1 overlaps gt0 best but gt1
+    # above threshold too
+    gts = np.array([
+        [0.0, 0.0, 100.0, 100.0],
+        [0.0, 0.0, 100.0, 140.0],
+    ])
+    dts = np.array([
+        [0.0, 0.0, 100.0, 100.0, 0.9],   # IoU(gt0)=1.0 -> matches gt0
+        [0.0, 0.0, 100.0, 110.0, 0.8],   # IoU(gt0)=0.909, IoU(gt1)=0.786
+    ])
+    scores, matched, ignored, npig = _match_image(
+        dts, gts, AREA_RANGES["all"], max_dets=100
+    )
+    assert npig == 2
+    # at IoU threshold 0.5 (index 0) BOTH detections match
+    assert matched[0, 0] and matched[0, 1]
+    assert not ignored[0].any()
+
+
+def test_area_range_ignore_not_fp():
+    """An unmatched detection outside the area range is ignored, and a GT
+    outside the range neither counts toward npig nor turns its matching
+    detection into a TP/FP."""
+    gts = np.array([[0.0, 0.0, 10.0, 10.0]])        # area 100 -> small
+    dts = np.array([[0.0, 0.0, 10.0, 10.0, 0.9],    # matches the small GT
+                    [0.0, 0.0, 200.0, 200.0, 0.8]])  # unmatched, large area
+    # evaluate under the 'small' range: GT is in range; the large unmatched
+    # detection must be ignored (not FP)
+    scores, matched, ignored, npig = _match_image(
+        dts, gts, AREA_RANGES["small"], max_dets=100
+    )
+    assert npig == 1
+    assert matched[0, 0]
+    assert ignored[0, 1]  # large unmatched det ignored under 'small'
+    aps, recalls = _accumulate([(scores, matched, ignored, npig)])
+    assert aps[0] == pytest.approx(1.0)
+
+    # under the 'large' range the GT is ignored; det0 matches the ignored GT
+    # -> ignored; det1 unmatched but in range -> FP; npig 0 -> NaN metrics
+    scores, matched, ignored, npig = _match_image(
+        dts, gts, AREA_RANGES["large"], max_dets=100
+    )
+    assert npig == 0
+    assert ignored[0, 0]
+    aps, recalls = _accumulate([(scores, matched, ignored, npig)])
+    assert np.all(np.isnan(aps))
+
+
+def test_maxdets_truncation_prefix_stable():
+    gts = np.array([[0.0, 0.0, 50.0, 50.0], [60.0, 60.0, 100.0, 100.0]])
+    dts = np.array([
+        [0.0, 0.0, 50.0, 50.0, 0.9],
+        [60.0, 60.0, 100.0, 100.0, 0.8],
+    ])
+    r100 = _match_image(dts, gts, AREA_RANGES["all"], max_dets=100)
+    _, rec1 = _accumulate([r100], max_dets=1)
+    _, rec100 = _accumulate([r100], max_dets=100)
+    assert rec1[0] == pytest.approx(0.5)   # only the top det counts
+    assert rec100[0] == pytest.approx(1.0)
+
+
+def test_summary_block_format():
+    res = {k: 0.5 for k in
+           ["AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large",
+            "AR1", "AR10", "AR100", "AR_small", "AR_medium", "AR_large"]}
+    text = summarize_coco(res)
+    lines = text.splitlines()
+    assert len(lines) == 12
+    assert "Average Precision" in lines[0] and "= 0.500" in lines[0]
+    assert "maxDets=  1" in lines[6]
