@@ -45,6 +45,8 @@ def main() -> int:
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
     num_classes = int(os.environ.get("BENCH_CLASSES", "1"))
+    # config 5 (multi-class page layout + soft-NMS): BENCH_SOFTNMS=<sigma>
+    soft_nms_sigma = float(os.environ.get("BENCH_SOFTNMS", "0"))
     # landscape document-page bucket (data/generator.py); BENCH_BUCKET=HxW
     # overrides (e.g. 1024x1024 for the ResNet-101 config)
     bucket = tuple(
@@ -69,7 +71,8 @@ def main() -> int:
             images = preprocess_image_device(images, "caffe")
         outputs = model.apply(variables, images)
         return detections_from_outputs(
-            outputs, bucket, pre_nms_top_k=1024, use_pallas=use_pallas
+            outputs, bucket, pre_nms_top_k=1024, use_pallas=use_pallas,
+            soft_nms_sigma=soft_nms_sigma,
         )
 
     rng_np = np.random.RandomState(0)
@@ -119,7 +122,10 @@ def main() -> int:
         "vs_baseline": round(ips / paper_m40_ips, 2),
         "batch": batch,
         "dtype": "bf16" if dtype == jnp.bfloat16 else "f32",
-        "nms": "pallas" if use_pallas else "jnp",
+        "nms": (
+            f"soft_{soft_nms_sigma}" if soft_nms_sigma > 0
+            else ("pallas" if use_pallas else "jnp")
+        ),
         "ingestion": "fused_uint8" if fused else "prenormalized_f32",
         "median_step_ms": round(dt * 1000, 2),
         "device": jax.devices()[0].device_kind,

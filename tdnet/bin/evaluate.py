@@ -47,6 +47,11 @@ def parse_args(argv=None):
     parser.add_argument("--eval-batch-size", default=None, type=int,
                         help="batch evaluation images per bucket "
                              "(default: 16 on TPU, 1 elsewhere)")
+    parser.add_argument("--device-normalize", action="store_true",
+                        help="ship uint8 canvases, normalize in-graph (4x "
+                             "less host->device traffic; pixel values round "
+                             "to uint8 before resize, so results can differ "
+                             "at the last decimal from the host-norm path)")
     return parser.parse_args(argv)
 
 
@@ -107,6 +112,7 @@ def main(argv=None) -> int:
         use_pallas=args.use_pallas,
         pre_nms_top_k=args.pre_nms_top_k,
         batch_size=args.eval_batch_size,
+        device_preprocess=args.device_normalize,
     )
 
     aps = evaluate(

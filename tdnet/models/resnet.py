@@ -16,7 +16,7 @@ friendly), BN folded to multiply-add so XLA fuses it into the convs.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,6 +81,80 @@ class Bottleneck(nn.Module):
         return nn.relu(y + shortcut)
 
 
+class StemConv(nn.Module):
+    """The ResNet stem conv: explicit pad 3 + valid 7x7/2 (keras-resnet
+    ZeroPadding2D(3); NOT 'SAME' — for even inputs SAME pads (2,3) and
+    shifts by a pixel).
+
+    `s2d=True` uses the space-to-depth reformulation (cf. MLPerf ResNet):
+    zero-extend the kernel to 8x8 (v[1:,1:]=w), pad the input by 4,
+    rearrange 2x2 spatial blocks into channels, and run the equivalent
+    4x4/1 conv over 12 channels — identical math (out[i,j] =
+    sum_k w[k] x[2i+k-3, ...] term for term).
+
+    MEASURED NEGATIVE RESULT (v5e, batch 32, 800x1344, bf16 —
+    tools/perf_stem.py): plain 16.5 ms, in-graph s2d 22.1 ms — XLA's own
+    C=3 conv lowering already beats paying the 2x2 rearrangement per step,
+    so the default stays the plain conv. The s2d path is kept for
+    ingestion-level s2d experiments (host emits s2d canvases; the MLPerf
+    formulation) where the rearrangement leaves the step entirely.
+
+    The parameter is stored as the canonical (7, 7, 3, F) kernel either
+    way, so checkpoints and the Keras h5 importer are layout-stable.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+    s2d: Optional[bool] = None  # None -> plain conv (see negative result)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        use_s2d = bool(self.s2d)
+        if use_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            return self._s2d_conv(x, kernel)
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(self.dtype),
+            window_strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def _s2d_conv(self, x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+        c = kernel.shape[2]
+        f = self.features
+        # v[k'] = w[k'-1] so out[i] = sum_{k'} v[k'] z[2i+k'] with z padded 4
+        v = jnp.zeros((8, 8, c, f), kernel.dtype).at[1:, 1:].set(kernel)
+        # k4[q, r, (ph*2+pw)*C + c] = v[2q+ph, 2r+pw, c]
+        k4 = (
+            v.reshape(4, 2, 4, 2, c, f)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, f)
+        )
+        xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        b, hp, wp, _ = xp.shape
+        u = (
+            xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, hp // 2, wp // 2, 4 * c)
+        )
+        y = jax.lax.conv_general_dilated(
+            u,
+            k4.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # VALID over (H/2+4) taps-4 gives H/2+1 rows; the true output is H/2
+        return y[:, : x.shape[1] // 2, : x.shape[2] // 2, :]
+
+
 class ResNet(nn.Module):
     """Returns (C3, C4, C5) feature maps at strides 8/16/32."""
 
@@ -88,16 +162,13 @@ class ResNet(nn.Module):
     se_ratio: float = 0.0  # > 0 -> SE-ResNet (reference: models/senet.py)
     dtype: Any = jnp.float32
     freeze_bn: bool = True
+    s2d_stem: Optional[bool] = None  # None -> space-to-depth stem on TPU
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         x = x.astype(self.dtype)
-        # stem: explicit pad 3 + valid 7x7/2 (keras-resnet ZeroPadding2D(3));
-        # NOT 'SAME' — for even inputs SAME pads (2,3) and shifts by a pixel.
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
-        )(x)
+        x = StemConv(features=64, dtype=self.dtype, s2d=self.s2d_stem,
+                     name="conv1")(x)
         x = nn.relu(FrozenBatchNorm(frozen=self.freeze_bn, dtype=self.dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 

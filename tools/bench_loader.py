@@ -24,7 +24,13 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# the axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; force CPU
+# through the config API so this host-only bench never opens the TPU
+jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> int:
