@@ -37,6 +37,8 @@ def parse_args(argv=None):
     parser.add_argument("--score-threshold", default=0.05, type=float)
     parser.add_argument("--nms-threshold", default=0.5, type=float)
     parser.add_argument("--max-detections", default=300, type=int)
+    parser.add_argument("--soft-nms-sigma", default=0.0, type=float,
+                        help="bake gaussian soft-NMS into the bundle (> 0 replaces hard NMS at inference)")
     parser.add_argument("--image-min-side", default=800, type=int)
     parser.add_argument("--image-max-side", default=1333, type=int)
     parser.add_argument("--config", default=None, type=str)
@@ -71,6 +73,7 @@ def main(argv=None) -> int:
             "class_specific_filter": args.class_specific_filter,
             "score_threshold": args.score_threshold,
             "nms_threshold": args.nms_threshold,
+            "soft_nms_sigma": args.soft_nms_sigma,
             "max_detections": args.max_detections,
             "min_side": args.image_min_side,
             "max_side": args.image_max_side,

@@ -47,6 +47,9 @@ def parse_args(argv=None):
     parser.add_argument("--eval-batch-size", default=None, type=int,
                         help="batch evaluation images per bucket "
                              "(default: 16 on TPU, 1 elsewhere)")
+    parser.add_argument("--soft-nms-sigma", default=None, type=float,
+                        help="gaussian soft-NMS sigma (> 0 replaces hard "
+                             "NMS; default: the model bundle's setting)")
     parser.add_argument("--device-normalize", action="store_true",
                         help="ship uint8 canvases, normalize in-graph (4x "
                              "less host->device traffic; pixel values round "
@@ -113,6 +116,10 @@ def main(argv=None) -> int:
         pre_nms_top_k=args.pre_nms_top_k,
         batch_size=args.eval_batch_size,
         device_preprocess=args.device_normalize,
+        soft_nms_sigma=(
+            args.soft_nms_sigma if args.soft_nms_sigma is not None
+            else inference.get("soft_nms_sigma", 0.0)
+        ),
     )
 
     aps = evaluate(

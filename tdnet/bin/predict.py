@@ -37,6 +37,9 @@ def parse_args(argv=None):
                         default=None,
                         help="disable the Pallas NMS kernel (default: on for TPU)")
     parser.add_argument("--pre-nms-top-k", default=1024, type=int)
+    parser.add_argument("--soft-nms-sigma", default=None, type=float,
+                        help="gaussian soft-NMS sigma (> 0 replaces hard "
+                             "NMS; default: the model bundle's setting)")
     return parser.parse_args(argv)
 
 
@@ -62,6 +65,10 @@ def main(argv=None) -> int:
         max_detections=inference.get("max_detections", 300),
         use_pallas=args.use_pallas,
         pre_nms_top_k=args.pre_nms_top_k,
+        soft_nms_sigma=(
+            args.soft_nms_sigma if args.soft_nms_sigma is not None
+            else inference.get("soft_nms_sigma", 0.0)
+        ),
     )
 
     label_to_name = None

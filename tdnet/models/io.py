@@ -34,6 +34,7 @@ DEFAULT_INFERENCE_CONFIG = {
     "score_threshold": 0.05,
     "max_detections": 300,
     "nms_threshold": 0.5,
+    "soft_nms_sigma": 0.0,  # > 0 switches to gaussian soft-NMS (config 5)
     "min_side": 800,
     "max_side": 1333,
     "preprocess_mode": "caffe",

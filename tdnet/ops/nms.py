@@ -308,8 +308,10 @@ def batched_filter_detections(boxes, classification, use_pallas: bool = False,
         use_pallas
         and kwargs.get("nms", True)
         and kwargs.get("class_specific_filter", True)
-        and kwargs.get("soft_nms_sigma", 0.0) == 0.0
     ):
+        # covers hard NMS AND soft-NMS (the latter via the Pallas greedy
+        # rescoring kernel — the vmapped fori_loop fallback costs ~210 ms
+        # per batch-32 step on v5e, BASELINE.md config 5)
         return _batched_filter_detections_pallas(
             boxes, classification, pallas_interpret=pallas_interpret, **kwargs
         )
@@ -334,7 +336,7 @@ def _batched_filter_detections_pallas(
     top-k and suppressed in one kernel launch with grid (B*C, K/128)."""
     from tdnet.ops.pallas_nms import TILE, pallas_nms_keep
 
-    del nms, class_specific_filter, soft_nms_sigma  # (True, True, 0.0) case
+    del nms, class_specific_filter  # (True, True) case
     b, n, c = classification.shape
     k = min(pre_nms_top_k, n)
     k_pad = k + ((-k) % TILE)
@@ -349,17 +351,37 @@ def _batched_filter_detections_pallas(
     )  # (B, C, K, 4)
 
     flat_boxes = cand_boxes.reshape(b * c, k, 4)
-    flat_valid = (top_scores > score_threshold).reshape(b * c, k)
-    if k_pad != k:
-        flat_boxes = jnp.pad(flat_boxes, ((0, 0), (0, k_pad - k), (0, 0)))
-        flat_valid = jnp.pad(flat_valid, ((0, 0), (0, k_pad - k)))
 
-    keep = pallas_nms_keep(
-        flat_boxes, flat_valid, iou_threshold=nms_threshold,
-        interpret=pallas_interpret,
-    )[:, :k].reshape(b, c, k)
+    if soft_nms_sigma > 0.0:
+        # batched Pallas soft-NMS (same semantics as the per-class jnp path
+        # in _per_class_candidates, tested equivalent)
+        from tdnet.ops.soft_nms import soft_nms_rescore_batched
 
-    kept_scores = jnp.where(keep, top_scores, -jnp.inf)  # (B, C, K)
+        flat_scores = jnp.where(
+            top_scores > score_threshold, top_scores, 0.0
+        ).reshape(b * c, k)
+        rescored = soft_nms_rescore_batched(
+            flat_boxes, flat_scores,
+            method="gaussian", sigma=soft_nms_sigma,
+            score_threshold=score_threshold,
+            max_selections=max_detections,
+            interpret=pallas_interpret or None,
+        ).reshape(b, c, k)
+        top_scores = rescored.astype(top_scores.dtype)
+        kept_scores = jnp.where(rescored > score_threshold,
+                                top_scores, -jnp.inf)
+    else:
+        flat_valid = (top_scores > score_threshold).reshape(b * c, k)
+        if k_pad != k:
+            flat_boxes = jnp.pad(flat_boxes, ((0, 0), (0, k_pad - k), (0, 0)))
+            flat_valid = jnp.pad(flat_valid, ((0, 0), (0, k_pad - k)))
+
+        keep = pallas_nms_keep(
+            flat_boxes, flat_valid, iou_threshold=nms_threshold,
+            interpret=pallas_interpret,
+        )[:, :k].reshape(b, c, k)
+
+        kept_scores = jnp.where(keep, top_scores, -jnp.inf)  # (B, C, K)
 
     # per-class cap at max_detections (reference: tf NMS max_output_size)
     if k > max_detections:

@@ -70,3 +70,62 @@ def test_filter_detections_soft_nms_path():
     assert (s > 0).sum() == 2
     assert s[0] == pytest.approx(0.9, abs=1e-5)
     assert 0.05 < s[1] < 0.8
+
+
+def test_batched_pallas_soft_nms_matches_vmapped_path():
+    """batched_filter_detections with use_pallas must produce the same
+    detections as the vmapped per-class jnp path when soft-NMS is on
+    (the Pallas greedy-rescoring kernel, ops/soft_nms.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdnet.ops.nms import batched_filter_detections
+
+    rng = np.random.RandomState(7)
+    b, n, c = 3, 400, 2
+    centers = rng.uniform(0, 200, (b, n, 2))
+    sizes = rng.uniform(10, 60, (b, n, 2))
+    boxes = jnp.asarray(np.concatenate([centers, centers + sizes], -1),
+                        jnp.float32)
+    scores = jnp.asarray(rng.uniform(0, 1, (b, n, c)) ** 3, jnp.float32)
+
+    kwargs = dict(score_threshold=0.05, max_detections=50,
+                  pre_nms_top_k=256, soft_nms_sigma=0.5)
+    ref = batched_filter_detections(boxes, scores, use_pallas=False, **kwargs)
+    got = batched_filter_detections(boxes, scores, use_pallas=True,
+                                    pallas_interpret=True, **kwargs)
+
+    np.testing.assert_allclose(np.asarray(got.scores), np.asarray(ref.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.labels), np.asarray(ref.labels))
+    np.testing.assert_allclose(np.asarray(got.boxes), np.asarray(ref.boxes),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_rescore_batched_matches_vmapped_rescore():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdnet.ops.soft_nms import soft_nms_rescore, soft_nms_rescore_batched
+
+    rng = np.random.RandomState(1)
+    r, k = 5, 130  # non-multiple of 128 exercises the pad path
+    centers = rng.uniform(0, 100, (r, k, 2))
+    sizes = rng.uniform(5, 30, (r, k, 2))
+    boxes = jnp.asarray(np.concatenate([centers, centers + sizes], -1),
+                        jnp.float32)
+    scores = jnp.asarray(
+        rng.uniform(0, 1, (r, k)) * (rng.rand(r, k) > 0.3), jnp.float32)
+
+    for method in ("gaussian", "linear"):
+        ref = jax.vmap(
+            lambda bx, s: soft_nms_rescore(bx, s, method=method, sigma=0.4,
+                                           max_selections=64)
+        )(boxes, scores)
+        got = soft_nms_rescore_batched(boxes, scores, method=method,
+                                       sigma=0.4, max_selections=64,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
