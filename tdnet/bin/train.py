@@ -46,7 +46,10 @@ def parse_args(argv=None):
     parser.add_argument("--lr", default=1e-5, type=float)
     parser.add_argument("--clipnorm", default=1e-3, type=float)
     parser.add_argument("--epochs", default=50, type=int)
-    parser.add_argument("--steps", default=10000, type=int, help="steps per epoch")
+    parser.add_argument("--steps", default=10000, type=int,
+                        help="steps per epoch (reference default 10000); "
+                             "0 = one full pass over the dataset shard per "
+                             "epoch (natural for small table datasets)")
     parser.add_argument("--snapshot-path", default="./snapshots", type=str)
     parser.add_argument("--snapshot", default=None, type=str,
                         help="resume from a snapshot directory")
@@ -157,6 +160,9 @@ def main(argv=None) -> int:
         workers=args.workers,
     )
     loader = BatchLoader(train_ds, cfg)
+    if args.steps <= 0:
+        args.steps = loader.steps_per_epoch()
+        print(f"--steps 0: using one dataset pass = {args.steps} steps/epoch")
 
     mesh = create_mesh()
     global_batch = args.batch_size * jax.process_count()
