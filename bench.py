@@ -9,7 +9,8 @@ vs_baseline is measured against that.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-Env overrides: BENCH_BATCH (default 32), BENCH_ITERS (default 10),
+Env overrides: BENCH_BATCH (default 64 — best measured throughput:
+256.7 img/s vs 252.7 @48 and 244.2 @32), BENCH_ITERS (default 10),
 BENCH_DTYPE (bf16|f32, default bf16), BENCH_PALLAS (1|0, default 1:
 tiled Pallas NMS kernel vs jnp fixpoint NMS).
 """
@@ -35,7 +36,7 @@ def main() -> int:
     from tdnet.models.detect import detections_from_outputs
     from tdnet.models.retinanet import RetinaNet
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     dtype = (
         jnp.bfloat16
