@@ -46,6 +46,8 @@ setup(
             "tdnet-convert-model=tdnet.bin.convert_model:main",
             "tdnet-debug=tdnet.bin.debug:main",
             "tdnet-predict=tdnet.bin.predict:main",
+            "tdnet-export-keras=tdnet.bin.export_keras:main",
+            "tdnet-csv-from-xml=tdnet.bin.csv_from_xml:main",
             # reference-compatible aliases (keras-retinanet console scripts)
             "retinanet-train=tdnet.bin.train:main",
             "retinanet-evaluate=tdnet.bin.evaluate:main",

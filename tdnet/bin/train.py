@@ -78,6 +78,9 @@ def parse_args(argv=None):
     parser.add_argument("--max-boxes", default=64, type=int)
     parser.add_argument("--evaluation", dest="evaluation", action="store_true",
                         help="run mAP evaluation each epoch (needs --val-annotations)")
+    parser.add_argument("--coco-evaluation", action="store_true",
+                        help="per-epoch COCO 12-metric summary instead of "
+                             "VOC mAP (reference: callbacks/coco.py CocoEval)")
     parser.add_argument("--score-threshold", default=0.05, type=float)
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true",
@@ -236,7 +239,7 @@ def main(argv=None) -> int:
     )
 
     evaluate_fn = None
-    if args.evaluation and val_ds is not None:
+    if (args.evaluation or args.coco_evaluation) and val_ds is not None:
         # one Predictor reused across epochs (weights are an argument of its
         # jitted pipeline, so swapping them does not retrace/recompile)
         predictor = Predictor(
@@ -256,6 +259,12 @@ def main(argv=None) -> int:
                 "params": state.params,
                 "batch_stats": state.batch_stats,
             }
+            if args.coco_evaluation:
+                from tdnet.utils.coco_eval import evaluate_coco
+
+                res = evaluate_coco(val_ds, predictor)
+                # numeric keys only (AP/AP50/.../AR100 + per-class)
+                return {k: float(v) for k, v in res.items()}
             aps = evaluate(val_ds, predictor)
             # 'mAP' is the UNWEIGHTED class mean — the reference Evaluate
             # callback's default (weighted only behind --weighted-average);
