@@ -89,22 +89,26 @@ def _match_image(
             np.asarray(dts[:, :4], np.float64),
             np.asarray(gts_sorted, np.float64),
         )  # (D, G)
+        # COCOeval's ascending-gi scan with `>=` updates and the
+        # break-on-ignored rule reduces to: prefer the non-ignored section
+        # (gts are sorted non-ignored first); within a section pick the
+        # LAST index attaining the max (ties update on >=). Vectorized over
+        # gi; the di loop must stay sequential (gt_taken state).
+        n_ni = int(np.sum(~gt_ig))
+
+        def last_argmax(v):
+            return v.size - 1 - int(np.argmax(v[::-1]))
+
         for ti, thr in enumerate(COCO_IOU_THRESHOLDS):
+            init = min(thr, 1.0 - 1e-10)
             gt_taken = np.zeros(G, dtype=bool)
             for di in range(D):
-                best = min(thr, 1.0 - 1e-10)
+                c = np.where(gt_taken, -np.inf, ious[di])
                 m = -1
-                for gi in range(G):
-                    if gt_taken[gi]:
-                        continue
-                    # gts are sorted non-ignored first: once we hold a
-                    # non-ignored match, ignored candidates can't improve it
-                    if m > -1 and not gt_ig[m] and gt_ig[gi]:
-                        break
-                    if ious[di, gi] < best:
-                        continue
-                    best = ious[di, gi]
-                    m = gi
+                if n_ni and c[:n_ni].max() >= init:
+                    m = last_argmax(c[:n_ni])
+                elif n_ni < G and c[n_ni:].max() >= init:
+                    m = n_ni + last_argmax(c[n_ni:])
                 if m == -1:
                     continue
                 gt_taken[m] = True

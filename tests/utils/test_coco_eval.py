@@ -156,3 +156,70 @@ def test_summary_block_format():
     assert len(lines) == 12
     assert "Average Precision" in lines[0] and "= 0.500" in lines[0]
     assert "maxDets=  1" in lines[6]
+
+
+def test_vectorized_matcher_equals_reference_scan():
+    """Property test: the vectorized gi selection must reproduce the
+    original COCOeval ascending scan (>= updates, break-on-ignored) on
+    random inputs, including ties and area-range ignores."""
+    rng = np.random.RandomState(42)
+    for trial in range(200):
+        D = rng.randint(0, 8)
+        G = rng.randint(0, 8)
+        centers = rng.uniform(0, 60, (max(D, 1), 2))
+        dts = np.concatenate(
+            [centers, centers + rng.uniform(5, 40, (max(D, 1), 2)),
+             rng.uniform(0, 1, (max(D, 1), 1))], axis=1)[:D]
+        gc = rng.uniform(0, 60, (max(G, 1), 2))
+        gts = np.concatenate(
+            [gc, gc + rng.uniform(5, 40, (max(G, 1), 2))], axis=1)[:G]
+        # quantize coords to force frequent exact IoU ties
+        dts[:, :4] = np.round(dts[:, :4] / 10) * 10
+        gts = np.round(gts / 10) * 10
+        area_name = list(AREA_RANGES)[trial % 4]
+        got = _match_image(dts, gts, AREA_RANGES[area_name], max_dets=100)
+
+        # reference: the literal COCOeval scan
+        from tdnet.utils.coco_eval import (
+            COCO_IOU_THRESHOLDS, _box_area, _iou_exact)
+        gt_area = _box_area(gts)
+        lo, hi = AREA_RANGES[area_name]
+        gt_ignore = (gt_area < lo) | (gt_area > hi)
+        order = np.argsort(gt_ignore, kind="stable")
+        gts_s = gts[order]
+        gt_ig = gt_ignore[order]
+        T = len(COCO_IOU_THRESHOLDS)
+        matched = np.zeros((T, D), bool)
+        ignored = np.zeros((T, D), bool)
+        if D and G:
+            ious = _iou_exact(dts[:, :4].astype(np.float64),
+                              gts_s.astype(np.float64))
+            for ti, thr in enumerate(COCO_IOU_THRESHOLDS):
+                taken = np.zeros(G, bool)
+                for di in range(D):
+                    best = min(thr, 1.0 - 1e-10)
+                    m = -1
+                    for gi in range(G):
+                        if taken[gi]:
+                            continue
+                        if m > -1 and not gt_ig[m] and gt_ig[gi]:
+                            break
+                        if ious[di, gi] < best:
+                            continue
+                        best = ious[di, gi]
+                        m = gi
+                    if m == -1:
+                        continue
+                    taken[m] = True
+                    matched[ti, di] = True
+                    ignored[ti, di] = gt_ig[m]
+        if D:
+            dt_area = _box_area(dts[:, :4])
+            oor = (dt_area < lo) | (dt_area > hi)
+            ignored |= (~matched) & oor[None, :]
+
+        np.testing.assert_array_equal(got[1], matched,
+                                      err_msg=f"trial {trial} matched")
+        np.testing.assert_array_equal(got[2], ignored,
+                                      err_msg=f"trial {trial} ignored")
+        assert got[3] == int(np.sum(~gt_ignore))
