@@ -39,12 +39,17 @@ def main(argv=None) -> int:
     anchor_params = anchor_params_from_args(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    # device_normalize=True keeps the canvas as raw uint8 pixels, so no
+    # normalize/un-normalize round trip is needed — correct for every
+    # backbone preprocess mode (caffe AND tf), unlike adding the caffe mean
+    # back unconditionally.
     cfg = LoaderConfig(
         batch_size=1,
         min_side=args.image_min_side,
         max_side=args.image_max_side,
         random_transform=args.random_transform,
         shuffle=False,
+        device_normalize=True,
     )
     loader = BatchLoader(dataset, cfg)
 
@@ -52,8 +57,7 @@ def main(argv=None) -> int:
     for batch in loader.epoch():
         if count >= args.limit:
             break
-        image = batch["images"][0] + np.array([103.939, 116.779, 123.68], np.float32)
-        image = np.clip(image, 0, 255).astype(np.uint8).copy()
+        image = batch["images"][0].copy()
         anchors = anchors_for_shape(image.shape[:2], anchor_params=anchor_params)
         valid = batch["gt_mask"][0]
         boxes = batch["gt_boxes"][0][valid]

@@ -143,7 +143,17 @@ def keras_name_map_for(backbone_name: str) -> Dict[str, Tuple[str, ...]]:
 
     name = backbone_name
     if name.startswith("seresnet"):
-        name = name[2:]  # same layer naming as the plain resnets
+        # The SE Dense params (se_reduce/se_expand) have no verified upstream
+        # h5 naming available offline; silently reusing the plain ResNet map
+        # would leave them at random init on a strict=False load — a
+        # corrupted model with no warning. Refuse instead; callers with a
+        # known layout pass name_map= explicitly.
+        raise ValueError(
+            f"no verified Keras h5 name map for SE-ResNet backbone "
+            f"{backbone_name!r} (the se_reduce/se_expand Dense layers); pass "
+            "an explicit name_map to load_keras_retinanet_h5, or import into "
+            "the plain resnet and re-train the SE gates"
+        )
     if name in STAGE_SIZES:
         return keras_name_map(STAGE_SIZES[name])
     if name.startswith("vgg"):

@@ -86,14 +86,18 @@ class CocoDataset:
 
     def load_annotations(self, image_index: int) -> Dict[str, np.ndarray]:
         anns = self._annotations[self.image_ids[image_index]]
-        boxes, labels = [], []
+        boxes, labels, areas = [], [], []
         for a in anns:
             x, y, w, h = a["bbox"]
             if w < 1 or h < 1:  # reference skips degenerate boxes
                 continue
             boxes.append([x, y, x + w, y + h])
             labels.append(self.coco_label_to_label(a["category_id"]))
+            # official COCOeval uses the annotation's 'area' (segmentation
+            # area) for the S/M/L ignore decision, not the bbox area
+            areas.append(float(a.get("area", w * h)))
         return {
             "labels": np.asarray(labels, dtype=np.int64),
             "bboxes": np.asarray(boxes, dtype=np.float64).reshape(-1, 4),
+            "areas": np.asarray(areas, dtype=np.float64),
         }

@@ -8,7 +8,7 @@ one of a fixed set of canvases, so the whole run compiles once per bucket.
 
 With the reference's resize rule (min side -> 800 capped by max side 1333),
 every image fits one of two canvases: (800, 1344) landscape or (1344, 800)
-portrait (dims rounded up to multiples of 64 for friendlier XLA tiling).
+portrait (dims rounded up to multiples of 32; 800 stays exactly 800).
 Ground truth is emitted as fixed-size padded arrays + validity mask; target
 assignment happens ON DEVICE inside the jitted train step (ops/targets.py),
 not here — the host stays cheap (decode + warp + resize only).
@@ -40,13 +40,17 @@ from tdnet.data.transform import (
 __all__ = ["LoaderConfig", "BatchLoader", "default_buckets", "pick_bucket"]
 
 
-def _round_up(x: int, m: int = 64) -> int:
+def _round_up(x: int, m: int = 32) -> int:
     return int(math.ceil(x / m) * m)
 
 
 def default_buckets(min_side: int = 800, max_side: int = 1333) -> List[Tuple[int, int]]:
     """Two canvases cover every aspect-preserving resize: landscape and
-    portrait. Dims rounded up to 64 so P3..P7 tile cleanly."""
+    portrait. Dims rounded up to 32 (so P3..P5 divide evenly; guess_shapes
+    ceils the rest) — for the default 800/1333 rule that is EXACTLY
+    (800, 1344), the shape every perf number in PERF.md/BASELINE.md is
+    measured at. Rounding to 64 (as before round 3) padded the min side to
+    832: 4% dead pixels on every image."""
     lo, hi = _round_up(min_side), _round_up(max_side)
     if lo == hi:
         return [(lo, hi)]

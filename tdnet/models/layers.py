@@ -49,12 +49,15 @@ class FrozenBatchNorm(nn.Module):
             bias = jax.lax.stop_gradient(bias)
 
         # BN warm-up support (train/weights.py bn_warmup): expose this
-        # batch's input moments. sow() is a no-op (and the moments DCE away)
-        # unless apply() marks the 'bn_warmup' collection mutable.
-        xf = x.astype(jnp.float32)
-        axes = tuple(range(x.ndim - 1))
-        self.sow("bn_warmup", "mean", jnp.mean(xf, axis=axes))
-        self.sow("bn_warmup", "sq_mean", jnp.mean(jnp.square(xf), axis=axes))
+        # batch's input moments, but ONLY when a warm-up pass asked for them
+        # (apply(..., mutable=['bn_warmup'])). The guard keeps the collection
+        # out of init() templates (checkpoint consumers iterate collections)
+        # and skips two full-tensor reductions in eager/non-jit applies.
+        if not self.is_initializing() and self.is_mutable_collection("bn_warmup"):
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            self.sow("bn_warmup", "mean", jnp.mean(xf, axis=axes))
+            self.sow("bn_warmup", "sq_mean", jnp.mean(jnp.square(xf), axis=axes))
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
         offset = bias - mean * inv

@@ -162,7 +162,8 @@ class ResNet(nn.Module):
     se_ratio: float = 0.0  # > 0 -> SE-ResNet (reference: models/senet.py)
     dtype: Any = jnp.float32
     freeze_bn: bool = True
-    s2d_stem: Optional[bool] = None  # None -> space-to-depth stem on TPU
+    s2d_stem: Optional[bool] = None  # None/False -> plain conv (measured
+    # faster than in-graph s2d on v5e; see StemConv's negative result)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

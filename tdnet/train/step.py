@@ -175,9 +175,11 @@ def make_train_step(
         return total, metrics
 
     # Donating the state buffers halves peak HBM on TPU. On the CPU backend
-    # multi-device donated executions intermittently hard-abort
-    # (XLA:CPU buffer-donation flakiness observed on the virtual 8-device
-    # mesh), so donation is enabled off-CPU only — semantics are identical.
+    # multi-device donated executions intermittently hard-abort — an
+    # upstream XLA:CPU issue (donated-buffer reuse races on the virtual
+    # 8-device host mesh; not reproducible in a minimal case, not a tdnet
+    # bug), so donation is enabled off-CPU only. Semantics are identical;
+    # only peak host memory differs.
     donate = () if jax.default_backend() == "cpu" else (0,)
 
     @functools.partial(jax.jit, donate_argnums=donate)

@@ -26,7 +26,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from tdnet.utils.eval import _get_annotations, _get_detections
+from tdnet.utils.eval import _get_detections
 
 __all__ = ["evaluate_coco", "summarize_coco"]
 
@@ -65,8 +65,14 @@ def _match_image(
     gts: np.ndarray,  # (G, 4)
     area_range: Tuple[float, float],
     max_dets: int,
+    gt_areas: Optional[np.ndarray] = None,  # (G,) dataset 'area' field
 ):
     """COCOeval evaluateImg for one (image, class, area range).
+
+    `gt_areas` (when the dataset provides per-annotation areas, e.g. COCO's
+    segmentation 'area' field) drives the S/M/L ignore decision exactly like
+    official COCOeval; datasets without it fall back to bbox area (the only
+    deviation from pycocotools, and only for such datasets).
 
     Returns (dt_scores (D',), dt_matched (T, D') bool, dt_ignore (T, D') bool,
     num_non_ignored_gt) with D' = min(D, max_dets)."""
@@ -74,7 +80,7 @@ def _match_image(
     dts = dts[:max_dets]
     D, G = len(dts), len(gts)
 
-    gt_area = _box_area(gts)
+    gt_area = gt_areas if gt_areas is not None else _box_area(gts)
     gt_ignore = (gt_area < area_range[0]) | (gt_area > area_range[1])
     # sort GTs: non-ignored first (COCOeval sorts by ignore flag)
     gt_order = np.argsort(gt_ignore, kind="stable")
@@ -182,8 +188,23 @@ def evaluate_coco(
 ) -> Dict[str, float]:
     """Full COCO summary over a dataset. `predictor` as in utils/eval.py."""
     all_detections = _get_detections(dataset, predictor, score_threshold, max_detections)
-    all_annotations = _get_annotations(dataset)
     num_images = dataset.size()
+
+    # per (image, class): GT boxes + per-annotation areas when the dataset
+    # provides them (COCO 'area' field — official COCOeval's S/M/L source)
+    num_classes = dataset.num_classes()
+    all_annotations = [[None] * num_classes for _ in range(num_images)]
+    all_areas = [[None] * num_classes for _ in range(num_images)]
+    for i in range(num_images):
+        ann = dataset.load_annotations(i)
+        areas = ann.get("areas")
+        for label in range(num_classes):
+            if not dataset.has_label(label):
+                continue
+            sel = ann["labels"] == label
+            all_annotations[i][label] = ann["bboxes"][sel].copy()
+            if areas is not None:
+                all_areas[i][label] = np.asarray(areas)[sel].copy()
 
     labels = [l for l in range(dataset.num_classes()) if dataset.has_label(l)]
 
@@ -198,11 +219,12 @@ def evaluate_coco(
     for label in labels:
         dets = [all_detections[i][label] for i in range(num_images)]
         anns = [all_annotations[i][label] for i in range(num_images)]
+        areas = [all_areas[i][label] for i in range(num_images)]
 
         for area_name, area_range in AREA_RANGES.items():
             results = [
-                _match_image(d, a, area_range, max_dets=100)
-                for d, a in zip(dets, anns)
+                _match_image(d, a, area_range, max_dets=100, gt_areas=ar)
+                for d, a, ar in zip(dets, anns, areas)
             ]
             aps, recalls = _accumulate(results)
             ap_table[area_name].append(aps)

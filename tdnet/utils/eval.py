@@ -116,23 +116,27 @@ def evaluate(
             detections = all_detections[i][label]
             annotations = all_annotations[i][label]
             num_annotations += annotations.shape[0]
-            detected = []
-
-            for d in detections:
-                scores.append(d[4])
-                if annotations.shape[0] == 0:
-                    false_positives.append(1)
-                    true_positives.append(0)
-                    continue
-                overlaps = compute_overlap(
-                    np.expand_dims(d[:4], axis=0), annotations
-                )
-                assigned = int(np.argmax(overlaps, axis=1)[0])
-                max_overlap = overlaps[0, assigned]
-                if max_overlap >= iou_threshold and assigned not in detected:
+            n_det = detections.shape[0]
+            if n_det == 0:
+                continue
+            scores.extend(detections[:, 4].tolist())
+            if annotations.shape[0] == 0:
+                false_positives.extend([1] * n_det)
+                true_positives.extend([0] * n_det)
+                continue
+            # one DxG IoU call per (image, class); the reference calls the
+            # native kernel once per detection (utils/eval.py ~L80) — the
+            # greedy scan is identical because each detection's argmax GT
+            # does not depend on the match state (taken argmax GT -> FP)
+            overlaps = compute_overlap(detections[:, :4], annotations)
+            assigned = np.argmax(overlaps, axis=1)
+            max_overlap = overlaps[np.arange(n_det), assigned]
+            detected: set = set()
+            for di in range(n_det):
+                if max_overlap[di] >= iou_threshold and assigned[di] not in detected:
                     true_positives.append(1)
                     false_positives.append(0)
-                    detected.append(assigned)
+                    detected.add(int(assigned[di]))
                 else:
                     false_positives.append(1)
                     true_positives.append(0)

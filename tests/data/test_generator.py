@@ -41,13 +41,13 @@ class SyntheticDataset:
 
 def test_default_buckets_cover_both_orientations():
     buckets = default_buckets(800, 1333)
-    assert (832, 1344) in buckets and (1344, 832) in buckets
+    assert (800, 1344) in buckets and (1344, 800) in buckets
 
 
 def test_pick_bucket_smallest_fitting():
-    buckets = [(832, 1344), (1344, 832), (1344, 1344)]
-    assert pick_bucket(800, 1200, buckets) == (832, 1344)
-    assert pick_bucket(1200, 800, buckets) == (1344, 832)
+    buckets = [(800, 1344), (1344, 800), (1344, 1344)]
+    assert pick_bucket(800, 1200, buckets) == (800, 1344)
+    assert pick_bucket(1200, 800, buckets) == (1344, 800)
     import pytest
     with pytest.raises(ValueError, match="fits no configured bucket"):
         pick_bucket(2000, 2000, buckets)  # nothing fits -> clear error
