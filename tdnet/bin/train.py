@@ -239,7 +239,16 @@ def main(argv=None) -> int:
     )
 
     evaluate_fn = None
-    if (args.evaluation or args.coco_evaluation) and val_ds is not None:
+    if ((args.evaluation or args.coco_evaluation) and val_ds is not None
+            and jax.process_index() != 0):
+        # Multi-host: per-epoch eval runs on rank 0 only — the Predictor is
+        # process-local, so every rank running the FULL val set would be
+        # redundant work; eval feeds only logging (plateau-LR monitors the
+        # train loss, which is a global scalar identical on every rank), so
+        # skipping it cannot desynchronize ranks.
+        print("per-epoch evaluation: rank 0 only (this is rank "
+              f"{jax.process_index()})")
+    elif (args.evaluation or args.coco_evaluation) and val_ds is not None:
         # one Predictor reused across epochs (weights are an argument of its
         # jitted pipeline, so swapping them does not retrace/recompile)
         predictor = Predictor(

@@ -86,9 +86,11 @@ class LoaderConfig:
     random_transform: bool = False
     transform_parameters: TransformParameters = field(default_factory=TransformParameters)
     # multi-host input sharding (SURVEY.md §2.4 "per-host sharded file
-    # lists"): each process loads only its strided slice of every epoch's
-    # (identically seeded, hence identically shuffled) index order. None =
-    # resolve from jax.process_index()/process_count() at loader build.
+    # lists"): all processes compute the identical global batch sequence
+    # (same seed -> same shuffle/buckets/chunking) and each loads only its
+    # strided slice of every global batch — same bucket and step count on
+    # every rank by construction (see _global_batches). None = resolve from
+    # jax.process_index()/process_count() at loader build.
     process_index: Optional[int] = None
     process_count: Optional[int] = None
     # host decode/augment parallelism (reference fit_generator workers=N,
@@ -151,16 +153,20 @@ class BatchLoader:
         return self.dataset.num_classes()
 
     def steps_per_epoch(self) -> int:
-        """Batches yielded per epoch() pass ON THIS PROCESS — per-BUCKET
-        ceil over this host's index shard, since each bucket's final partial
-        batch is repeat-padded separately."""
-        bs = self.config.batch_size
+        """Batches yielded per epoch() pass — computed over the GLOBAL
+        dataset and the GLOBAL batch size (batch_size x process_count), so
+        every process returns the IDENTICAL count. Per-bucket ceil because
+        each bucket's final partial global batch is repeat-padded separately.
+
+        (Before round 3 this was per-host over a per-host shard; uneven
+        shards then gave ranks different step counts and `--steps 0`
+        deadlocked the collective — see _global_batches.)"""
+        gbs = self.config.batch_size * self.process_count
         counts: dict = {}
-        for idx in range(self.process_index, self.dataset.size(),
-                         self.process_count):
+        for idx in range(self.dataset.size()):
             bkt = self._bucket_for_index(idx)
             counts[bkt] = counts.get(bkt, 0) + 1
-        return sum(math.ceil(n / bs) for n in counts.values())
+        return sum(math.ceil(n / gbs) for n in counts.values())
 
     def _bucket_for_index(self, idx: int) -> Tuple[int, int]:
         bkt = self._bucket_of.get(idx)
@@ -274,50 +280,63 @@ class BatchLoader:
 
     # ------------------------------------------------------------ iteration
 
-    def _epoch_groups(self) -> List[Tuple[Tuple[int, int], List[int]]]:
-        """Group this epoch's indices by bucket (aspect ratio decides).
+    def _global_batches(self) -> List[Tuple[Tuple[int, int], List[int]]]:
+        """The epoch's GLOBAL batch sequence: (bucket, indices) with exactly
+        batch_size x process_count indices each.
 
-        Multi-host: every process draws the SAME shuffled order (identical
-        seed) and keeps its strided slice, so the union over processes
-        partitions the epoch exactly (SURVEY.md §2.4)."""
+        Every process computes this IDENTICAL list (same seed -> same
+        shuffle -> same bucket grouping -> same chunking), which is what
+        makes the multi-host path deadlock-free by construction: all ranks
+        agree on the bucket (= compiled executable) and the step count at
+        every global step, regardless of how unevenly buckets or dataset
+        sizes divide. Each rank then takes its strided slice of every
+        global batch (see local_batches). The final partial chunk of each
+        bucket is repeat-padded to the full global batch (duplicates are
+        detectable downstream via `indices` uniqueness, as before)."""
         order = np.arange(self.dataset.size())
         if self.config.shuffle:
             self._rng.shuffle(order)
-        if self.process_count > 1:
-            order = order[self.process_index::self.process_count]
         groups: dict = {}
         for idx in order:
             idx = int(idx)
             groups.setdefault(self._bucket_for_index(idx), []).append(idx)
-        return list(groups.items())
+        gbs = self.config.batch_size * self.process_count
+        batches: List[Tuple[Tuple[int, int], List[int]]] = []
+        for bucket, idxs in groups.items():
+            for start in range(0, len(idxs), gbs):
+                chunk = idxs[start : start + gbs]
+                while len(chunk) < gbs:  # repeat-pad to the static size
+                    chunk = chunk + chunk[: gbs - len(chunk)]
+                batches.append((bucket, chunk))
+        return batches
+
+    def local_batches(self) -> List[Tuple[Tuple[int, int], List[int]]]:
+        """This process's strided slice of every global batch — always
+        exactly batch_size indices per entry, same bucket order on every
+        rank (SURVEY.md §2.4 per-host input sharding)."""
+        p, n = self.process_index, self.process_count
+        return [(bucket, chunk[p::n]) for bucket, chunk in self._global_batches()]
 
     def __iter__(self) -> Iterator[dict]:
         return self.epoch()
 
     def epoch(self) -> Iterator[dict]:
-        """One pass over this process's dataset shard; final partial batch of
-        each bucket is repeated-padded to full batch_size (mask via `indices`
-        uniqueness). With config.workers > 0, decode/augment/resize of a
-        batch's images runs on the thread pool (cv2/PIL drop the GIL)."""
-        bs = self.config.batch_size
-        for bucket, idxs in self._epoch_groups():
-            for start in range(0, len(idxs), bs):
-                chunk = idxs[start : start + bs]
-                # pad final chunk to static batch size by repeating
-                while len(chunk) < bs:
-                    chunk = chunk + chunk[: bs - len(chunk)]
-                # draw augmentation transforms sequentially (determinism)
-                transforms = [
-                    next(self._transform_gen) if self._transform_gen else None
-                    for _ in chunk
+        """One epoch of this process's batches (see _global_batches for the
+        multi-host contract). With config.workers > 0, decode/augment/resize
+        of a batch's images runs on the thread pool (cv2/PIL drop the GIL)."""
+        for bucket, chunk in self.local_batches():
+            # draw augmentation transforms sequentially (determinism)
+            transforms = [
+                next(self._transform_gen) if self._transform_gen else None
+                for _ in chunk
+            ]
+            if self._pool is not None:
+                entries = list(self._pool.map(self._load_entry, chunk, transforms))
+            else:
+                entries = [
+                    self._load_entry(i, t) for i, t in zip(chunk, transforms)
                 ]
-                if self._pool is not None:
-                    entries = list(self._pool.map(self._load_entry, chunk, transforms))
-                else:
-                    entries = [
-                        self._load_entry(i, t) for i, t in zip(chunk, transforms)
-                    ]
-                yield self._assemble(entries, chunk, bucket)
+            yield self._assemble(entries, chunk, bucket)
 
     def forever(self) -> Iterator[dict]:
         while True:

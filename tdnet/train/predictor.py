@@ -52,7 +52,8 @@ class Predictor:
         self.batch_size = batch_size
         # commit weights to device ONCE — numpy leaves (e.g. fresh from a
         # .tdn load) would otherwise re-upload ~150MB on every jitted call
-        self.variables = jax.device_put(variables)
+        # (assignment goes through the `variables` property below)
+        self.variables = variables
         self.anchor_params = anchor_params
         self.min_side = min_side
         self.max_side = max_side
@@ -71,6 +72,26 @@ class Predictor:
             soft_nms_sigma=soft_nms_sigma,
         )
 
+    @staticmethod
+    def _local_leaf(x):
+        # Multi-host: the train state lives on the GLOBAL mesh, so its
+        # leaves are not fully addressable from one process and cannot be
+        # fed to this predictor's process-local jit. The params are
+        # replicated (parallel/mesh.py replicated_sharding), so the local
+        # shard IS the full value — materialize it. Single-process arrays
+        # (incl. the virtual 8-device mesh) pass through untouched.
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return x
+
+    @property
+    def variables(self) -> dict:
+        return self._variables
+
+    @variables.setter
+    def variables(self, tree: dict) -> None:
+        self._variables = jax.device_put(jax.tree.map(self._local_leaf, tree))
+
     def _pipeline(self, bucket: Tuple[int, int]):
         """jitted images(1,H,W,3) -> Detections for one bucket shape.
 
@@ -85,7 +106,10 @@ class Predictor:
             if images.dtype == jnp.uint8:
                 from tdnet.data.image import preprocess_image_device
 
-                images = preprocess_image_device(images, self.preprocess_mode)
+                images = preprocess_image_device(
+                    images, self.preprocess_mode,
+                    out_dtype=getattr(self.model, "dtype", None),
+                )
             outputs = self.model.apply(variables, images)
             return detections_from_outputs(
                 outputs, bucket, anchor_params=self.anchor_params, **self.det_kwargs

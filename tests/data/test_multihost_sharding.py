@@ -1,6 +1,8 @@
-"""Per-host input sharding (SURVEY.md §2.4 'per-host sharded file lists'):
-simulated processes must exactly partition every epoch, and the thread-pool
-loader must produce byte-identical batches to the synchronous path."""
+"""Per-host input sharding (SURVEY.md §2.4): all processes must agree on the
+global batch sequence — same buckets, same step count at every global step —
+with each process loading a disjoint slice of every global batch; and the
+thread-pool loader must produce byte-identical batches to the synchronous
+path."""
 
 import numpy as np
 
@@ -17,41 +19,45 @@ def _shard_loader(ds, rank, nproc, **kw):
     return BatchLoader(ds, cfg)
 
 
-def _epoch_indices(loader):
-    out = []
-    for _, idxs in loader._epoch_groups():
-        out.extend(idxs)
-    return out
-
-
-def test_two_shards_partition_epoch_shuffled():
+def test_two_shards_agree_on_buckets_and_cover_epoch():
+    # 7 landscape + 4 portrait with global batch 4: bucket A has a padded
+    # final chunk (7 -> 4+4), bucket B divides evenly — the exact uneven
+    # case that desynchronized the old per-host grouping.
     ds = SyntheticDataset([(100, 200)] * 7 + [(200, 100)] * 4)
     l0 = _shard_loader(ds, 0, 2, seed=5)
     l1 = _shard_loader(ds, 1, 2, seed=5)
-    i0, i1 = _epoch_indices(l0), _epoch_indices(l1)
-    assert not set(i0) & set(i1)
-    assert sorted(i0 + i1) == list(range(ds.size()))
-    # deterministic across epochs given the same internal RNG state is NOT
-    # required, but both processes must agree epoch-by-epoch: fresh loaders
-    # with the same seed always produce complementary shards
-    for _ in range(3):
-        j0, j1 = _epoch_indices(l0), _epoch_indices(l1)
-        assert sorted(j0 + j1) == list(range(ds.size()))
-        assert not set(j0) & set(j1)
+    for _ in range(3):  # stays true epoch after epoch (same RNG stream)
+        b0, b1 = l0.local_batches(), l1.local_batches()
+        # identical step count and identical bucket at every step
+        assert [b for b, _ in b0] == [b for b, _ in b1]
+        assert len(b0) == l0.steps_per_epoch() == l1.steps_per_epoch() == 3
+        # each global batch: disjoint local slices of the same global chunk
+        seen = []
+        for (_, c0), (_, c1) in zip(b0, b1):
+            assert len(c0) == len(c1) == 2  # batch_size each
+            seen.extend(c0 + c1)
+        # every image appears at least once; only padding repeats (7 -> 8)
+        assert set(seen) == set(range(ds.size()))
+        assert len(seen) == 12  # 3 global batches x 4
 
 
 def test_single_process_default_is_whole_dataset():
     ds = SyntheticDataset([(100, 200)] * 5)
     loader = _shard_loader(ds, 0, 1, shuffle=False)
-    assert _epoch_indices(loader) == list(range(5))
+    seen = [i for _, chunk in loader.local_batches() for i in chunk]
+    assert sorted(set(seen)) == list(range(5))
 
 
-def test_steps_per_epoch_reflects_shard():
-    ds = SyntheticDataset([(100, 200)] * 8)
+def test_steps_per_epoch_identical_across_ranks_uneven():
+    # 9 images over 2 hosts: the old per-host count gave rank0 3 steps and
+    # rank1 2 (deadlock); the global count is ceil(9/4) = 3 on both.
+    ds = SyntheticDataset([(100, 200)] * 9)
+    r0 = _shard_loader(ds, 0, 2, shuffle=False)
+    r1 = _shard_loader(ds, 1, 2, shuffle=False)
+    assert r0.steps_per_epoch() == r1.steps_per_epoch() == 3
+    assert len(r0.local_batches()) == len(r1.local_batches()) == 3
     full = _shard_loader(ds, 0, 1, shuffle=False)
-    half = _shard_loader(ds, 0, 2, shuffle=False)
-    assert full.steps_per_epoch() == 4   # 8 imgs / bs 2
-    assert half.steps_per_epoch() == 2   # 4 imgs / bs 2
+    assert full.steps_per_epoch() == 5  # ceil(9/2) single-host
 
 
 def test_worker_pool_batches_identical():

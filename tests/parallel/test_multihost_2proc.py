@@ -49,7 +49,7 @@ cfg = LoaderConfig(batch_size=2, min_side=64, max_side=128,
                    buckets=[(64, 128)], shuffle=False)
 loader = BatchLoader(ds, cfg)
 assert loader.process_count == 2 and loader.process_index == rank
-shard = [i for _, idxs in loader._epoch_groups() for i in idxs]
+shard = [i for _, idxs in loader.local_batches() for i in idxs]
 print(f"SHARD {rank} {sorted(shard)}", flush=True)
 
 # --- one sharded train step across the two processes --------------------
