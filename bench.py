@@ -59,9 +59,10 @@ def main() -> int:
     init_images = jnp.zeros((1,) + bucket + (3,), jnp.float32)
     variables = jax.jit(model.init)(rng, init_images)
 
-    # measured on v5e: uint8 in-graph conversion costs ~150ms/step at batch
-    # 32 (slow uint8->f32 lowering), far more than the 3/4 transfer saving —
-    # pre-normalized f32 input is the fast default; BENCH_FUSED=1 to compare
+    # BENCH_FUSED=1: uint8 canvases normalized in-graph (config-2 ingestion;
+    # 4x less host->device transfer). Round 2 measured XLA's uint8 lowering
+    # at +39 ms/step vs prenormalized f32; the Pallas ingestion kernel
+    # (ops/pallas_ingest.py) now handles the conversion at bandwidth speed.
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
 
     @jax.jit
@@ -69,7 +70,7 @@ def main() -> int:
         if images.dtype == jnp.uint8:
             from tdnet.data.image import preprocess_image_device
 
-            images = preprocess_image_device(images, "caffe")
+            images = preprocess_image_device(images, "caffe", out_dtype=dtype)
         outputs = model.apply(variables, images)
         return detections_from_outputs(
             outputs, bucket, pre_nms_top_k=1024, use_pallas=use_pallas,

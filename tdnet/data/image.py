@@ -63,20 +63,42 @@ def preprocess_image(x: np.ndarray, mode: str = "caffe") -> np.ndarray:
     raise ValueError(f"unknown preprocessing mode {mode!r}")
 
 
-def preprocess_image_device(images, mode: str = "caffe"):
-    """jnp normalization for the fused device-side ingestion path
+def preprocess_image_device(images, mode: str = "caffe", out_dtype=None):
+    """Device-side normalization for the fused ingestion path
     (BASELINE.json config 2: resize/pad on host in uint8, normalize fused
-    into the jitted graph — 4x less host->device traffic, and XLA fuses the
-    subtract into the first conv). Mathematically equivalent to host
-    preprocessing up to uint8 rounding (mean-shift commutes with the linear
-    warp/resize)."""
+    into the jitted graph — 4x less host->device traffic). Mathematically
+    equivalent to host preprocessing up to uint8 rounding (mean-shift
+    commutes with the linear warp/resize).
+
+    uint8 input on TPU routes through the Pallas ingestion kernel
+    (ops/pallas_ingest.py): XLA's own uint8->f32 lowering costs ~150 ms/step
+    at batch 32 where the bandwidth roofline is ~2 ms (BASELINE.md round-2
+    negative result); the kernel closes that gap. Other dtypes/backends use
+    the plain jnp path (XLA fuses the subtract into the first conv).
+
+    `out_dtype` (default float32): pass the model compute dtype (bf16) to
+    fuse the downstream cast into the kernel's write — identical numerics
+    to f32-normalize-then-cast (the subtract is exact in f32 either way).
+    """
+    import jax
     import jax.numpy as jnp
+
+    out_dtype = out_dtype or jnp.float32
+    if (
+        images.dtype == jnp.uint8
+        and jax.default_backend() == "tpu"
+        and images.ndim == 4
+    ):
+        from tdnet.ops.pallas_ingest import normalize_uint8, supports_shape
+
+        if supports_shape(images.shape):
+            return normalize_uint8(images, mode=mode, out_dtype=out_dtype)
 
     x = images.astype(jnp.float32)
     if mode == "caffe":
-        return x - jnp.asarray(CAFFE_MEAN_BGR)
+        return (x - jnp.asarray(CAFFE_MEAN_BGR)).astype(out_dtype)
     if mode == "tf":
-        return (x / 127.5) - 1.0
+        return ((x / 127.5) - 1.0).astype(out_dtype)
     raise ValueError(f"unknown preprocessing mode {mode!r}")
 
 

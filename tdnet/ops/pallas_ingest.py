@@ -1,0 +1,115 @@
+"""Pallas uint8 ingestion kernel: normalize raw pixel canvases at graph entry.
+
+Motivation (BASELINE.md round-2 negative result): shipping uint8 canvases
+saves 4x host->device transfer (the whole point of BASELINE config 2's
+"ingestion fuses into XLA ops"), but XLA:TPU's uint8->f32 lowering is
+catastrophic — the fused path cost ~150 ms/step at batch 32 (288 vs
+249 ms/step at batch 64), erasing the transfer saving on-device. The op is
+trivially bandwidth-bound: at batch 32 x 800x1344 it reads 103 MB (uint8)
+and writes 413 MB (f32) — roughly 2 ms at the measured ~250-350 GB/s
+device bandwidth (PERF.md), two orders of magnitude under XLA's lowering.
+
+Formulation: the (B, H, W, 3) canvas is bit-identical to a (R, 3072) byte
+matrix with 3072 = 1024 pixels x 3 channels. Every default bucket canvas
+has H*W divisible by 1024 because both dims are multiples of 32
+(data/generator.py default_buckets), so the reshape is exact; other shapes
+fall back to the jnp path. The per-channel mean/scale pattern repeats every
+3 lanes, so a trace-time (1, 3072) constant row turns the whole kernel into
+one convert + broadcast multiply-add per tile:
+
+    out[r, :] = (f32(in[r, :]) - mean_row) * scale        # caffe: scale=1
+    tf mode:   (x - 127.5) / 127.5  ==  x/127.5 - 1  (exact in f32: x is an
+               integer <= 255 and 127.5 is representable)
+
+Reference behavior matched: keras_retinanet/utils/image.py preprocess_image
+(mode='caffe' subtracts [103.939, 116.779, 123.68] BGR, no scaling;
+mode='tf' maps to [-1, 1]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from tdnet.data.image import CAFFE_MEAN_BGR
+
+__all__ = ["normalize_uint8", "supports_shape"]
+
+_ROW = 3072  # 1024 pixels x 3 channels; 24 lane-tiles of 128
+
+
+def supports_shape(shape) -> bool:
+    """True when (B, H, W, 3) flattens exactly into 3072-byte rows."""
+    if len(shape) != 4 or shape[-1] != 3:
+        return False
+    total = int(np.prod(shape))
+    return total % _ROW == 0 and total >= _ROW
+
+
+def _kernel(x_ref, mean_ref, o_ref, *, scale: float):
+    # Mosaic has no direct uint8->f32 cast; u8 -> i32 -> f32 lowers fine
+    # and is exact (values 0..255)
+    x = x_ref[...].astype(jnp.int32).astype(jnp.float32)
+    y = (x - mean_ref[...]) * scale
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "out_dtype", "interpret", "block_rows"),
+)
+def normalize_uint8(
+    images: jnp.ndarray,
+    mode: str = "caffe",
+    out_dtype=jnp.float32,
+    interpret: Optional[bool] = None,
+    block_rows: int = 256,
+) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> normalized out_dtype, via a Pallas kernel.
+
+    Exactly preprocess_image_device(images, mode).astype(out_dtype) for
+    mode='caffe' (subtract is exact in f32); 'tf' matches to float rounding.
+    Requires supports_shape(images.shape); callers dispatch (data/image.py).
+    """
+    if images.dtype != jnp.uint8:
+        raise TypeError(f"normalize_uint8 expects uint8, got {images.dtype}")
+    if not supports_shape(images.shape):
+        raise ValueError(
+            f"shape {images.shape} does not flatten into {_ROW}-byte rows; "
+            "use the jnp fallback (preprocess_image_device)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if mode == "caffe":
+        mean = np.tile(np.asarray(CAFFE_MEAN_BGR, np.float32), _ROW // 3)
+        scale = 1.0
+    elif mode == "tf":
+        mean = np.full((_ROW,), 127.5, np.float32)
+        scale = 1.0 / 127.5
+    else:
+        raise ValueError(f"unknown preprocessing mode {mode!r}")
+    mean_row = jnp.asarray(mean)[None, :]  # (1, 3072)
+
+    shape = images.shape
+    rows = int(np.prod(shape)) // _ROW
+    flat = images.reshape(rows, _ROW)
+    block_rows = min(block_rows, rows)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, _ROW), lambda i: (i, 0)),
+            pl.BlockSpec((1, _ROW), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, _ROW), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, _ROW), out_dtype),
+        interpret=interpret,
+    )(flat, mean_row)
+    return out.reshape(shape)

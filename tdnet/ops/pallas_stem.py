@@ -1,0 +1,302 @@
+"""Fused ingestion + ResNet stem Pallas kernel (the streaming stem).
+
+Replaces the graph segment
+    uint8 canvas -> normalize -> pad3 -> conv 7x7/2 (C=3 -> 64) -> frozen BN
+    -> ReLU -> maxpool 3x3/2 (SAME)
+with ONE kernel: uint8 (or prenormalized float) rows stream through VMEM and
+only the pooled (B, H/4, W/4, 64) activations ever reach HBM.
+
+Why (PERF.md round-2 stem study + round-3 layout findings):
+- XLA's C=3 conv emitter floors at ~16.5 ms f32 / ~23 ms bf16 (batch 32,
+  800x1344) vs a ~8 ms roofline; every in-graph reformulation (s2d,
+  im2col+dot, channel pad) measured WORSE (models/resnet.py StemConv).
+- Materializing any (B, H, W, 3) tensor on TPU gets layout T(8,128) with C
+  padded 3 -> 128: a 42x physical blowup (17.6 GB at batch 64 — OOM), which
+  is what sank the round-2 fused-uint8 ingestion path. Fusing ingestion
+  INTO the stem means the tiny-C tensor never exists on device; the
+  kernel's input is a byte-plane view and its output has C=64.
+
+Formulation — banded matmul over shifted byte planes (all 2D vector ops;
+Mosaic cannot lower the naive im2col's 1D->2D reshapes):
+- XLA prep: the (B, H, W, 3) canvas viewed as (B, H, W*3) bytes, row-padded
+  3 above / 5 below, then split into SIX interleaved byte planes
+  xv[r, b, h, j] = x[b, h, 6j + r] (one strided transpose at bandwidth;
+  plane r holds channel r%3 of every even (r<3) / odd (r>=3) pixel);
+- in-kernel, per grid step (= TM pooled rows of one image): normalize the
+  window's six (rows_in, W/2) planes (u8 -> i32 -> f32, subtract the
+  per-plane scalar mean), zero the pad rows, and lane-shift each plane by
+  d in {-2,-1,0,1}, zero-filling (= the conv's column padding). Stacking
+  the 24 shifted planes gives S (24*rows_in, W/2) with
+  S[(d,r,row), j] = x_norm[row, 6(j+d) + r].
+- EVERY tap of EVERY conv row in the block is now a row of S: conv output
+  (ci)[j, f] = sum_t W147[t, f] * S[s(ci, t), j], so the whole block's conv
+  is ONE dense matmul OutT = G @ S with G ((2*TM+1)*64, 24*rows_in) a
+  banded constant built from the 7x7x3 weights (G block ci = block 0
+  rolled 2*ci columns — taps advance 2 padded rows per conv row). K is
+  ~85-91% dense-packed for the MXU vs XLA's tiny-K conv emitter.
+- frozen BN + ReLU fold per 64-row channel block; 3x3/2 SAME maxpool =
+  lane-shift maxes + row-block maxes + a 0/1 selection matmul (stride-2
+  lane downsampling is not a supported Mosaic slice; a (W/2, W/4)
+  selection matrix does it on the MXU for ~15% extra FLOPs).
+- output is written channel-major (B, (H/4)*64, W/4) and untangled by one
+  XLA transpose (bandwidth, ~2 ms at batch 32).
+
+Weights enter as the raw (7,7,3,F) kernel; G is assembled from them in XLA
+per call (a constant 0/1 selection matmul + rolls), so the op stays a pure
+function of the parameters. Forward-only: training keeps the XLA stem
+(pallas_call has no autodiff rule here); inference (bench/predictor) is
+where the stem and the uint8 ingestion dominate.
+
+Validated against the XLA stem in tests/ops/test_pallas_stem.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # TPU compiler knobs (absent on CPU-only wheels)
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+from tdnet.data.image import CAFFE_MEAN_BGR
+
+__all__ = ["fused_stem", "supports_shape"]
+
+_SHIFTS = (-2, -1, 0, 1)
+
+
+def out_dtype_itemsize(dt) -> int:
+    return jnp.dtype(dt).itemsize
+
+
+def supports_shape(shape) -> bool:
+    """(B, H, W, 3) with H, W multiples of 4 (every bucket qualifies:
+    dims are multiples of 32 — data/generator.py default_buckets)."""
+    return (
+        len(shape) == 4
+        and shape[-1] == 3
+        and shape[1] % 4 == 0
+        and shape[2] % 4 == 0
+        and shape[1] >= 8
+        and shape[2] >= 8
+    )
+
+
+def _sel_matrix(rows_in: int) -> np.ndarray:
+    """(147, 24*rows_in) 0/1 matrix: tap t = kr*21 + kc*3 + c of conv row 0
+    reads S row (d_idx*6 + r)*rows_in + kr, where (d, r) = divmod(3*kc+c-9, 6)
+    and d_idx = d + 2."""
+    k = 24 * rows_in
+    sel = np.zeros((147, k), np.float32)
+    for kr in range(7):
+        for kc in range(7):
+            for c in range(3):
+                t = kr * 21 + kc * 3 + c
+                d, r = divmod(3 * kc + c - 9, 6)
+                sel[t, ((d + 2) * 6 + r) * rows_in + kr] = 1.0
+    return sel
+
+
+def _down_matrix(w2: int) -> np.ndarray:
+    """(w2, w2//2) 0/1 matrix selecting every even lane (stride-2
+    downsample as a matmul)."""
+    d = np.zeros((w2, w2 // 2), np.float32)
+    d[np.arange(0, w2, 2), np.arange(w2 // 2)] = 1.0
+    return d
+
+
+def _make_kernel(h, w, tm, normalize, compute_dtype, f):
+    w2 = w // 2
+    w4 = w // 4
+    rows_in = 4 * tm + 7
+    n_conv = 2 * tm + 1
+    if normalize == "caffe":
+        # plane r holds channel r % 3 (BGR)
+        plane_mean = [float(CAFFE_MEAN_BGR[r % 3]) for r in range(6)]
+        scale = 1.0
+    elif normalize == "tf":
+        plane_mean = [127.5] * 6
+        scale = 1.0 / 127.5
+    else:
+        plane_mean = [0.0] * 6
+        scale = 1.0
+
+    def kernel(x_ref, g_ref, inv_ref, off_ref, d_ref, o_ref):
+        m0 = pl.program_id(1) * tm
+        neg = jnp.float32(-3.4e38)
+
+        # ---- normalized, pad-masked window planes ------------------------
+        planes = []
+        for r in range(6):
+            p = x_ref[r, 0, pl.ds(4 * m0, rows_in), :]  # (rows_in, w2)
+            if normalize is not None:
+                pf = (p.astype(jnp.int32).astype(jnp.float32)
+                      - plane_mean[r]) * scale
+                orig = 4 * m0 - 3 + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_in, 1), 0
+                )
+                pf = jnp.where((orig >= 0) & (orig < h), pf, 0.0)
+            else:
+                pf = p.astype(jnp.float32)  # float path: pads already zero
+            planes.append(pf.astype(compute_dtype))
+
+        # ---- 24 lane-shifted planes -> S (24*rows_in, w2) ----------------
+        pieces = []
+        for d in _SHIFTS:
+            for r in range(6):
+                v = planes[r]
+                if d == 0:
+                    pieces.append(v)
+                elif d > 0:
+                    pieces.append(jnp.concatenate(
+                        [v[:, d:], jnp.zeros((rows_in, d), v.dtype)], axis=1))
+                else:
+                    pieces.append(jnp.concatenate(
+                        [jnp.zeros((rows_in, -d), v.dtype), v[:, :d]], axis=1))
+        s_mat = jnp.concatenate(pieces, axis=0)
+
+        # ---- the whole block's conv as ONE banded matmul ------------------
+        out_t = jax.lax.dot_general(
+            g_ref[...], s_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n_conv * f, w2) f32
+
+        inv = inv_ref[...]  # (f, 1)
+        off = off_ref[...]  # (f, 1)
+        dmat = d_ref[...]   # (w2, w4)
+
+        # ---- BN + ReLU + column max3 per conv-row block -------------------
+        yc = []
+        for ci in range(n_conv):
+            y = out_t[ci * f:(ci + 1) * f]  # (f, w2)
+            y = jnp.maximum(y * inv + off, 0.0)
+            y1 = jnp.concatenate(
+                [y[:, 1:], jnp.full((f, 1), neg, y.dtype)], axis=1)
+            y2 = jnp.concatenate(
+                [y[:, 2:], jnp.full((f, 2), neg, y.dtype)], axis=1)
+            yc.append(jnp.maximum(jnp.maximum(y, y1), y2))
+
+        # final conv row (global 2*m0 + 2*tm) does not exist in the image's
+        # last block (conv rows end at h/2 - 1) — mask it there
+        last_ok = (2 * m0 + 2 * tm) < (h // 2)
+        yc[n_conv - 1] = jnp.where(
+            last_ok, yc[n_conv - 1], jnp.full_like(yc[n_conv - 1], neg))
+
+        # ---- row max3 + stride-2 lane downsample (selection matmul) -------
+        for m in range(tm):
+            pm = jnp.maximum(
+                jnp.maximum(yc[2 * m], yc[2 * m + 1]), yc[2 * m + 2])
+            pooled = jax.lax.dot_general(
+                pm.astype(compute_dtype), dmat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (f, w4)
+            o_ref[0, m * f:(m + 1) * f, :] = pooled.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("normalize", "out_dtype", "interpret", "tm"),
+)
+def fused_stem(
+    images: jnp.ndarray,
+    kernel7: jnp.ndarray,
+    bn_inv: jnp.ndarray,
+    bn_off: jnp.ndarray,
+    normalize: Optional[str] = None,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+    tm: int = 4,
+) -> jnp.ndarray:
+    """images (B,H,W,3) [uint8 when `normalize`, else float already
+    normalized] -> pooled stem activations (B, H/4, W/4, F).
+
+    kernel7: (7,7,3,F) stem weights; bn_inv/bn_off (F,): folded frozen-BN
+    multiplier/offset (inv = scale/rsqrt, off = bias - mean*inv). Matches
+    StemConv + FrozenBatchNorm + ReLU + SAME 3x3/2 maxpool
+    (models/resnet.py:84-127,170-173) to float tolerance (MXU contraction
+    order differs from XLA's conv emitter). Forward-only."""
+    b, h, w, c = images.shape
+    if not supports_shape(images.shape):
+        raise ValueError(f"unsupported stem shape {images.shape}")
+    if normalize is not None and images.dtype != jnp.uint8:
+        raise TypeError("normalize requires uint8 input")
+    if normalize is None and images.dtype == jnp.uint8:
+        raise TypeError("uint8 input requires a normalize mode")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    hp4 = h // 4
+    tm = min(tm, hp4)
+    while hp4 % tm:  # largest divisor of H/4 at most the requested tm
+        tm -= 1
+    rows_in = 4 * tm + 7
+    n_conv = 2 * tm + 1
+    w2, w4 = w // 2, w // 4
+    f = kernel7.shape[-1]
+    compute_dtype = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+
+    # ---- XLA prep: row-pad, split into six interleaved byte planes -------
+    xp = jnp.pad(images.reshape(b, h, w * 3), ((0, 0), (3, 5), (0, 0)))
+    xv = xp.reshape(b, h + 8, w2, 6).transpose(3, 0, 1, 2)  # (6, B, H+8, w2)
+
+    # ---- G: the banded conv-as-matmul weight ------------------------------
+    w147 = kernel7.astype(jnp.float32).reshape(147, f)
+    sel = jnp.asarray(_sel_matrix(rows_in))  # (147, 24*rows_in)
+    g0 = jax.lax.dot_general(  # (f, 24*rows_in): conv row 0's band
+        w147, sel, (((0,), (0,)), ((), ())))
+    g = jnp.concatenate(
+        [jnp.roll(g0, 2 * ci, axis=1) for ci in range(n_conv)], axis=0
+    ).astype(compute_dtype)  # (n_conv*f, 24*rows_in)
+
+    inv = bn_inv.astype(jnp.float32)[:, None]  # (f, 1)
+    off = bn_off.astype(jnp.float32)[:, None]
+    dmat = jnp.asarray(_down_matrix(w2), compute_dtype)  # (w2, w4)
+
+    # The default 16 MB scoped-VMEM budget is too small for the large-tm
+    # variants (whole-image input block + S + G + f32 accumulator); v5e has
+    # 128 MB of physical VMEM, so raise the cap to what the buffers need.
+    cbytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    in_bytes = 6 * (h + 8) * w2 * images.dtype.itemsize
+    work_bytes = (
+        2 * (n_conv * f) * (24 * rows_in) * cbytes      # G (+ copy)
+        + 3 * (24 * rows_in) * w2 * cbytes              # planes/pieces/S
+        + (n_conv * f) * w2 * (4 + 2 * cbytes)          # out_t f32 + yc
+        + w2 * w4 * cbytes                              # dmat
+        + 4 * tm * f * w4 * out_dtype_itemsize(out_dtype)
+    )
+    vmem_limit = min(100 * 1024 * 1024, 2 * in_bytes + work_bytes + (4 << 20))
+    params = {}
+    if pltpu is not None and not interpret:
+        cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+        params["compiler_params"] = cp(vmem_limit_bytes=int(vmem_limit))
+
+    out = pl.pallas_call(
+        _make_kernel(h, w, tm, normalize, compute_dtype, f),
+        grid=(b, hp4 // tm),
+        in_specs=[
+            pl.BlockSpec((6, 1, h + 8, w2), lambda bi, mi: (0, bi, 0, 0)),
+            pl.BlockSpec((n_conv * f, 24 * rows_in), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((w2, w4), lambda bi, mi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tm * f, w4), lambda bi, mi: (bi, mi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp4 * f, w4), out_dtype),
+        interpret=interpret,
+        **params,
+    )(xv, g, inv, off, dmat)
+
+    # untangle the channel-major rows: (B, hp4*F, w4) -> (B, hp4, w4, F)
+    return out.reshape(b, hp4, f, w4).transpose(0, 1, 3, 2)

@@ -138,7 +138,8 @@ def make_train_step(
     batch's (bucketed) image shape, so one compilation per bucket.
 
     uint8 batches (LoaderConfig.device_normalize) are normalized in-graph —
-    XLA fuses the mean-subtract into the first conv."""
+    on TPU via the Pallas ingestion kernel (ops/pallas_ingest.py), written
+    directly in the model's compute dtype."""
     focal_fn = focal(alpha=focal_alpha, gamma=focal_gamma, from_logits=True)
     l1_fn = smooth_l1(sigma=smooth_l1_sigma)
 
@@ -147,7 +148,10 @@ def make_train_step(
         if images.dtype == jnp.uint8:
             from tdnet.data.image import preprocess_image_device
 
-            images = preprocess_image_device(images, preprocess_mode)
+            images = preprocess_image_device(
+                images, preprocess_mode,
+                out_dtype=getattr(model, "dtype", None),
+            )
         anchors = jnp.asarray(
             anchors_for_shape(images.shape[1:3], anchor_params=anchor_params),
             jnp.float32,
