@@ -60,17 +60,20 @@ def main() -> int:
     variables = jax.jit(model.init)(rng, init_images)
 
     # BENCH_FUSED=1: uint8 canvases normalized in-graph (config-2 ingestion;
-    # 4x less host->device transfer). Round 2 measured XLA's uint8 lowering
-    # at +39 ms/step vs prenormalized f32; the Pallas ingestion kernel
-    # (ops/pallas_ingest.py) now handles the conversion at bandwidth speed.
+    # 4x less host->device transfer). The uint8 batch crosses the jit
+    # boundary as the FLAT (R, 3072) byte matrix — a (B,H,W,3) uint8 jit arg
+    # gets the padded T(8,128) layout (42x blowup; +86 ms/step measured) —
+    # and the Pallas kernel (ops/pallas_ingest.py) normalizes it on device.
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
 
     @jax.jit
     def pipeline(variables, images):
         if images.dtype == jnp.uint8:
-            from tdnet.data.image import preprocess_image_device
+            from tdnet.ops.pallas_ingest import normalize_uint8_flat
 
-            images = preprocess_image_device(images, "caffe", out_dtype=dtype)
+            images = normalize_uint8_flat(
+                images, "caffe", out_dtype=dtype
+            ).reshape((batch,) + bucket + (3,))
         outputs = model.apply(variables, images)
         return detections_from_outputs(
             outputs, bucket, pre_nms_top_k=1024, use_pallas=use_pallas,
@@ -81,7 +84,7 @@ def main() -> int:
     if fused:
         # config-2 ingestion: uint8 page canvases, normalize fused in-graph
         x = rng_np.randint(0, 256, (batch,) + bucket + (3,), dtype=np.uint8)
-        images = jax.device_put(jnp.asarray(x))
+        images = jax.device_put(jnp.asarray(x.reshape(-1, 3072)))
     else:
         in_dtype = (
             jnp.bfloat16

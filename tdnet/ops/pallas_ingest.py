@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 
 from tdnet.data.image import CAFFE_MEAN_BGR
 
-__all__ = ["normalize_uint8", "supports_shape"]
+__all__ = ["normalize_uint8", "normalize_uint8_flat", "supports_shape"]
 
 _ROW = 3072  # 1024 pixels x 3 channels; 24 lane-tiles of 128
 
@@ -63,26 +63,26 @@ def _kernel(x_ref, mean_ref, o_ref, *, scale: float):
     jax.jit,
     static_argnames=("mode", "out_dtype", "interpret", "block_rows"),
 )
-def normalize_uint8(
-    images: jnp.ndarray,
+def normalize_uint8_flat(
+    flat: jnp.ndarray,
     mode: str = "caffe",
     out_dtype=jnp.float32,
     interpret: Optional[bool] = None,
     block_rows: int = 256,
 ) -> jnp.ndarray:
-    """(B, H, W, 3) uint8 -> normalized out_dtype, via a Pallas kernel.
+    """(R, 3072) uint8 byte matrix -> normalized out_dtype, same shape.
 
-    Exactly preprocess_image_device(images, mode).astype(out_dtype) for
-    mode='caffe' (subtract is exact in f32); 'tf' matches to float rounding.
-    Requires supports_shape(images.shape); callers dispatch (data/image.py).
+    THE jit-boundary form (round-3 measurement): a (B, H, W, 3) uint8 jit
+    ARGUMENT whose first consumer is a reshape gets the padded T(8,128)
+    layout (C: 3 -> 128 lanes, a 42x physical blowup) — end-to-end that
+    cost +86 ms/step at batch 32. Callers must ship THIS flat view across
+    the boundary (a free numpy view on the host: contiguous NHWC bytes)
+    and reshape the normalized float output back to NHWC inside the jit.
     """
-    if images.dtype != jnp.uint8:
-        raise TypeError(f"normalize_uint8 expects uint8, got {images.dtype}")
-    if not supports_shape(images.shape):
-        raise ValueError(
-            f"shape {images.shape} does not flatten into {_ROW}-byte rows; "
-            "use the jnp fallback (preprocess_image_device)"
-        )
+    if flat.dtype != jnp.uint8:
+        raise TypeError(f"normalize_uint8 expects uint8, got {flat.dtype}")
+    if flat.ndim != 2 or flat.shape[-1] != _ROW:
+        raise ValueError(f"expected (R, {_ROW}), got {flat.shape}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -96,12 +96,10 @@ def normalize_uint8(
         raise ValueError(f"unknown preprocessing mode {mode!r}")
     mean_row = jnp.asarray(mean)[None, :]  # (1, 3072)
 
-    shape = images.shape
-    rows = int(np.prod(shape)) // _ROW
-    flat = images.reshape(rows, _ROW)
+    rows = flat.shape[0]
     block_rows = min(block_rows, rows)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         grid=(pl.cdiv(rows, block_rows),),
         in_specs=[
@@ -112,4 +110,40 @@ def normalize_uint8(
         out_shape=jax.ShapeDtypeStruct((rows, _ROW), out_dtype),
         interpret=interpret,
     )(flat, mean_row)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "out_dtype", "interpret", "block_rows"),
+)
+def normalize_uint8(
+    images: jnp.ndarray,
+    mode: str = "caffe",
+    out_dtype=jnp.float32,
+    interpret: Optional[bool] = None,
+    block_rows: int = 256,
+) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> normalized out_dtype, via a Pallas kernel.
+
+    Exactly preprocess_image_device(images, mode).astype(out_dtype) for
+    mode='caffe' (subtract is exact in f32); 'tf' matches to float rounding.
+    Requires supports_shape(images.shape); callers dispatch (data/image.py).
+
+    NOTE: only call this on uint8 INTERMEDIATES inside a larger jit. For a
+    uint8 jit ARGUMENT, ship the flat (R, 3072) view across the boundary
+    and call normalize_uint8_flat — see its docstring for the layout trap.
+    """
+    if images.dtype != jnp.uint8:
+        raise TypeError(f"normalize_uint8 expects uint8, got {images.dtype}")
+    if not supports_shape(images.shape):
+        raise ValueError(
+            f"shape {images.shape} does not flatten into {_ROW}-byte rows; "
+            "use the jnp fallback (preprocess_image_device)"
+        )
+    shape = images.shape
+    rows = int(np.prod(shape)) // _ROW
+    out = normalize_uint8_flat(
+        images.reshape(rows, _ROW), mode=mode, out_dtype=out_dtype,
+        interpret=interpret, block_rows=block_rows,
+    )
     return out.reshape(shape)

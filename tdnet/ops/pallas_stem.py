@@ -67,7 +67,7 @@ except ImportError:  # pragma: no cover
 
 from tdnet.data.image import CAFFE_MEAN_BGR
 
-__all__ = ["fused_stem", "supports_shape"]
+__all__ = ["fused_stem", "fused_stem_packed", "supports_shape"]
 
 _SHIFTS = (-2, -1, 0, 1)
 
@@ -224,16 +224,49 @@ def fused_stem(
     multiplier/offset (inv = scale/rsqrt, off = bias - mean*inv). Matches
     StemConv + FrozenBatchNorm + ReLU + SAME 3x3/2 maxpool
     (models/resnet.py:84-127,170-173) to float tolerance (MXU contraction
-    order differs from XLA's conv emitter). Forward-only."""
+    order differs from XLA's conv emitter). Forward-only.
+
+    LAYOUT TRAP: only call this form on INTERMEDIATES inside a larger jit.
+    A (B, H, W, 3) jit ARGUMENT gets the padded T(8,128) layout (C: 3->128,
+    42x blowup); jit-boundary callers must host-view the batch to
+    (B, H, W*3) and call fused_stem_packed (tiles cleanly: W*3 pads to the
+    next 128 multiple, <2% overhead at the product buckets)."""
     b, h, w, c = images.shape
     if not supports_shape(images.shape):
         raise ValueError(f"unsupported stem shape {images.shape}")
-    if normalize is not None and images.dtype != jnp.uint8:
+    return fused_stem_packed(
+        images.reshape(b, h, w * 3), kernel7, bn_inv, bn_off,
+        normalize=normalize, out_dtype=out_dtype, interpret=interpret, tm=tm,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("normalize", "out_dtype", "interpret", "tm"),
+)
+def fused_stem_packed(
+    packed: jnp.ndarray,
+    kernel7: jnp.ndarray,
+    bn_inv: jnp.ndarray,
+    bn_off: jnp.ndarray,
+    normalize: Optional[str] = None,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+    tm: int = 4,
+) -> jnp.ndarray:
+    """fused_stem on the packed (B, H, W*3) byte-row view (the jit-boundary
+    form — a free numpy view of the contiguous NHWC host batch)."""
+    b, h, w3 = packed.shape
+    w = w3 // 3
+    if not supports_shape((b, h, w, 3)) or w * 3 != w3:
+        raise ValueError(f"unsupported packed stem shape {packed.shape}")
+    if normalize is not None and packed.dtype != jnp.uint8:
         raise TypeError("normalize requires uint8 input")
-    if normalize is None and images.dtype == jnp.uint8:
+    if normalize is None and packed.dtype == jnp.uint8:
         raise TypeError("uint8 input requires a normalize mode")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    images = packed  # naming below: dtype checks only
 
     hp4 = h // 4
     tm = min(tm, hp4)
@@ -246,7 +279,7 @@ def fused_stem(
     compute_dtype = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
 
     # ---- XLA prep: row-pad, split into six interleaved byte planes -------
-    xp = jnp.pad(images.reshape(b, h, w * 3), ((0, 0), (3, 5), (0, 0)))
+    xp = jnp.pad(packed, ((0, 0), (3, 5), (0, 0)))
     xv = xp.reshape(b, h + 8, w2, 6).transpose(3, 0, 1, 2)  # (6, B, H+8, w2)
 
     # ---- G: the banded conv-as-matmul weight ------------------------------

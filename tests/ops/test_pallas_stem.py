@@ -99,6 +99,22 @@ def test_tm_not_dividing_requested_falls_back():
     )
 
 
+def test_packed_form_equals_nhwc_form():
+    # the jit-boundary form: (B, H, W*3) byte rows == reshape of NHWC
+    from tdnet.ops.pallas_stem import fused_stem_packed
+
+    h, w = 32, 64
+    kernel7, scale, bias, mean, var, inv, off = _params(seed=8)
+    x8 = np.random.RandomState(9).randint(0, 256, (2, h, w, 3), np.uint8)
+    via_nhwc = fused_stem(jnp.asarray(x8), kernel7, inv, off,
+                          normalize="caffe", out_dtype=jnp.float32,
+                          interpret=True)
+    via_packed = fused_stem_packed(
+        jnp.asarray(x8.reshape(2, h, w * 3)), kernel7, inv, off,
+        normalize="caffe", out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(via_nhwc), np.asarray(via_packed))
+
+
 def test_rejects_bad_inputs():
     kernel7, _, _, _, _, inv, off = _params()
     with pytest.raises(TypeError, match="normalize requires uint8"):

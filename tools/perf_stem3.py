@@ -43,11 +43,11 @@ def timed(fn, *args, iters=10, inner=4):
 
 def main():
     from tdnet.data.image import CAFFE_MEAN_BGR
-    from tdnet.ops.pallas_stem import fused_stem
+    from tdnet.ops.pallas_stem import fused_stem_packed
 
     batch = int(os.environ.get("STEM3_BATCH", "32"))
     h, w = (int(v) for v in os.environ.get("STEM3_BUCKET", "800x1344").split("x"))
-    tm = int(os.environ.get("STEM3_TM", "10"))
+    tms = [int(v) for v in os.environ.get("STEM3_TM", "4").split(",")]
 
     r = np.random.RandomState(0)
     kernel7 = jnp.asarray(r.normal(0, 0.05, (7, 7, 3, 64)).astype(np.float32))
@@ -58,11 +58,15 @@ def main():
     inv = jax.lax.rsqrt(var + 1e-5) * scale
     off = bias - mean * inv
 
+    # jit-boundary form: packed (B, H, W*3) host views (the NHWC (B,H,W,3)
+    # jit arg gets the padded 42x T(8,128) layout — round-3 measurement)
     x8 = jax.device_put(jnp.asarray(
-        r.randint(0, 256, (batch, h, w, 3), np.uint8)))
-    xf = jax.device_put(jnp.asarray(
-        (r.randint(0, 256, (batch, h, w, 3)).astype(np.float32)
-         - CAFFE_MEAN_BGR).astype(jnp.bfloat16)))
+        r.randint(0, 256, (batch, h, w * 3), np.uint8)))
+    xf_nhwc = (r.randint(0, 256, (batch, h, w, 3)).astype(np.float32)
+               - CAFFE_MEAN_BGR).astype(np.float32)
+    xf = jax.device_put(jnp.asarray(xf_nhwc, jnp.bfloat16))  # NHWC for XLA
+    xfp = jax.device_put(jnp.asarray(
+        xf_nhwc.reshape(batch, h, w * 3), jnp.bfloat16))     # packed, pallas
 
     @jax.jit
     def xla_float(x):
@@ -76,34 +80,45 @@ def main():
 
         return nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
 
-    @jax.jit
-    def pallas_float(x):
-        return fused_stem(x, kernel7, inv, off, normalize=None,
-                          out_dtype=jnp.bfloat16, interpret=False, tm=tm)
+    def pallas_float(tm):
+        @jax.jit
+        def fn(x):
+            return fused_stem_packed(x, kernel7, inv, off, normalize=None,
+                                     out_dtype=jnp.bfloat16, interpret=False,
+                                     tm=tm)
+        return fn
 
-    @jax.jit
-    def pallas_u8(x):
-        return fused_stem(x, kernel7, inv, off, normalize="caffe",
-                          out_dtype=jnp.bfloat16, interpret=False, tm=tm)
+    def pallas_u8(tm):
+        @jax.jit
+        def fn(x):
+            return fused_stem_packed(x, kernel7, inv, off, normalize="caffe",
+                                     out_dtype=jnp.bfloat16, interpret=False,
+                                     tm=tm)
+        return fn
 
-    for name, fn, arg in (
-        ("xla_float", xla_float, xf),
-        ("pallas_float", pallas_float, xf),
-        ("pallas_u8", pallas_u8, x8),
-    ):
+    arms = [("xla_float", xla_float, xf)]
+    for tm in tms:
+        arms.append((f"pallas_u8[tm={tm}]", pallas_u8(tm), x8))
+    arms.append((f"pallas_float[tm={tms[0]}]", pallas_float(tms[0]), xfp))
+
+    for name, fn, arg in arms:
         try:
             ms = timed(fn, arg)
-            print(f"{name:13s} {ms:8.2f} ms", flush=True)
+            print(f"{name:22s} {ms:8.2f} ms", flush=True)
         except Exception as e:
-            print(f"{name:13s} FAIL {str(e)[:200]}", flush=True)
+            print(f"{name:22s} FAIL {str(e)[:300]}", flush=True)
 
     @jax.jit
     def maxdiff():
         a = xla_float(xf).astype(jnp.float32)
-        b = pallas_float(xf).astype(jnp.float32)
+        b = pallas_float(tms[0])(xfp).astype(jnp.float32)
         return jnp.max(jnp.abs(a - b))
 
-    print("max |xla - pallas| (float arm) =", float(jax.device_get(maxdiff())))
+    try:
+        print("max |xla - pallas| (float arm) =",
+              float(jax.device_get(maxdiff())))
+    except Exception as e:
+        print("maxdiff FAIL", str(e)[:200])
 
 
 if __name__ == "__main__":
