@@ -65,23 +65,52 @@ def main() -> int:
     # gets the padded T(8,128) layout (42x blowup; +86 ms/step measured) —
     # and the Pallas kernel (ops/pallas_ingest.py) normalizes it on device.
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    # BENCH_STEM=1: fold ingestion INTO the stem (Pallas fused ingest+stem;
+    # uint8 crosses the boundary as (B, H, W*3) packed rows and only the
+    # pooled C=64 activations ever exist on device). BENCH_STEM_TM tunes
+    # the kernel's row-block size.
+    fused_stem = os.environ.get("BENCH_STEM", "0") == "1"
+    stem_tm = int(os.environ.get("BENCH_STEM_TM", "4"))
+    if fused_stem:
+        from tdnet.models.retinanet import RetinaNet as _RN
+
+        stem_model = _RN(
+            num_classes=num_classes, backbone_name=backbone, dtype=dtype,
+            stem_input=True,
+        )
 
     @jax.jit
     def pipeline(variables, images):
-        if images.dtype == jnp.uint8:
-            from tdnet.ops.pallas_ingest import normalize_uint8_flat
+        if fused_stem and images.dtype == jnp.uint8:
+            from tdnet.models.resnet import stem_params_from_variables
+            from tdnet.ops.pallas_stem import fused_stem_packed
 
-            images = normalize_uint8_flat(
-                images, "caffe", out_dtype=dtype
-            ).reshape((batch,) + bucket + (3,))
-        outputs = model.apply(variables, images)
+            k7, inv, off = stem_params_from_variables(variables)
+            act = fused_stem_packed(
+                images, k7, inv, off, normalize="caffe", out_dtype=dtype,
+                tm=stem_tm,
+            )
+            outputs = stem_model.apply(variables, act)
+        else:
+            if images.dtype == jnp.uint8:
+                from tdnet.ops.pallas_ingest import normalize_uint8_flat
+
+                images = normalize_uint8_flat(
+                    images, "caffe", out_dtype=dtype
+                ).reshape((batch,) + bucket + (3,))
+            outputs = model.apply(variables, images)
         return detections_from_outputs(
             outputs, bucket, pre_nms_top_k=1024, use_pallas=use_pallas,
             soft_nms_sigma=soft_nms_sigma,
         )
 
     rng_np = np.random.RandomState(0)
-    if fused:
+    if fused_stem:
+        # packed (B, H, W*3) byte rows for the fused ingest+stem kernel
+        x = rng_np.randint(0, 256, (batch,) + bucket + (3,), dtype=np.uint8)
+        images = jax.device_put(
+            jnp.asarray(x.reshape(batch, bucket[0], bucket[1] * 3)))
+    elif fused:
         # config-2 ingestion: uint8 page canvases, normalize fused in-graph
         x = rng_np.randint(0, 256, (batch,) + bucket + (3,), dtype=np.uint8)
         images = jax.device_put(jnp.asarray(x.reshape(-1, 3072)))

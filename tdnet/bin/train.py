@@ -50,6 +50,12 @@ def parse_args(argv=None):
                         help="steps per epoch (reference default 10000); "
                              "0 = one full pass over the dataset shard per "
                              "epoch (natural for small table datasets)")
+    parser.add_argument("--reduce-lr-factor", default=0.1, type=float,
+                        help="plateau LR multiplier (reference callback "
+                             "default 0.1; upstream exposes the same flag)")
+    parser.add_argument("--reduce-lr-patience", default=2, type=int,
+                        help="epochs without loss improvement before the LR "
+                             "drops (reference default 2)")
     parser.add_argument("--snapshot-path", default="./snapshots", type=str)
     parser.add_argument("--snapshot", default=None, type=str,
                         help="resume from a snapshot directory")
@@ -297,7 +303,10 @@ def main(argv=None) -> int:
             epochs=args.epochs,
             checkpointer=ckpt,
             evaluate_fn=evaluate_fn,
-            lr_schedule=ReduceLROnPlateau(),
+            lr_schedule=ReduceLROnPlateau(
+                factor=args.reduce_lr_factor,
+                patience=args.reduce_lr_patience,
+            ),
             metrics_path=args.metrics_path,
             tensorboard_dir=args.tensorboard_dir,
             log_every=args.log_every,

@@ -155,6 +155,18 @@ class StemConv(nn.Module):
         return y[:, : x.shape[1] // 2, : x.shape[2] // 2, :]
 
 
+def stem_params_from_variables(variables: dict):
+    """(kernel7 (7,7,3,64), bn_inv (64,), bn_off (64,)) for the fused
+    ingest+stem kernel (ops/pallas_stem.fused_stem_packed), folded exactly
+    like FrozenBatchNorm (eps 1e-5): inv = rsqrt(var+eps)*scale,
+    off = bias - mean*inv."""
+    p = variables["params"]["backbone"]
+    s = variables["batch_stats"]["backbone"]["bn1"]
+    inv = jax.lax.rsqrt(s["var"] + 1e-5) * p["bn1"]["scale"]
+    off = p["bn1"]["bias"] - s["mean"] * inv
+    return p["conv1"]["kernel"], inv, off
+
+
 class ResNet(nn.Module):
     """Returns (C3, C4, C5) feature maps at strides 8/16/32."""
 
@@ -164,14 +176,20 @@ class ResNet(nn.Module):
     freeze_bn: bool = True
     s2d_stem: Optional[bool] = None  # None/False -> plain conv (measured
     # faster than in-graph s2d on v5e; see StemConv's negative result)
+    stem_input: bool = False  # input IS the pooled stem activations
+    # (B, H/4, W/4, 64) — the fused ingest+stem Pallas kernel
+    # (ops/pallas_stem.py) computes them outside the module; conv1/bn1
+    # params stay in the tree (unused) so one checkpoint serves both forms
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         x = x.astype(self.dtype)
-        x = StemConv(features=64, dtype=self.dtype, s2d=self.s2d_stem,
-                     name="conv1")(x)
-        x = nn.relu(FrozenBatchNorm(frozen=self.freeze_bn, dtype=self.dtype, name="bn1")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        if not self.stem_input:
+            x = StemConv(features=64, dtype=self.dtype, s2d=self.s2d_stem,
+                         name="conv1")(x)
+            x = nn.relu(FrozenBatchNorm(frozen=self.freeze_bn,
+                                        dtype=self.dtype, name="bn1")(x))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         outputs = []
         filters = 64

@@ -30,15 +30,20 @@ from tdnet.models.resnet import STAGE_SIZES, ResNet
 __all__ = ["RetinaNet", "FPN", "ClassificationSubnet", "RegressionSubnet"]
 
 
-def _build_backbone(name: str, dtype, freeze_bn: bool) -> nn.Module:
+def _build_backbone(name: str, dtype, freeze_bn: bool,
+                    stem_input: bool = False) -> nn.Module:
     """Instantiate a C3/C4/C5 feature extractor by registry name
     (reference: models/__init__.py backbone() dispatch)."""
     if name in STAGE_SIZES:
         return ResNet(stage_sizes=STAGE_SIZES[name], dtype=dtype,
-                      freeze_bn=freeze_bn, name="backbone")
+                      freeze_bn=freeze_bn, stem_input=stem_input,
+                      name="backbone")
     if name.startswith("seresnet") and name[2:] in STAGE_SIZES:
         return ResNet(stage_sizes=STAGE_SIZES[name[2:]], se_ratio=1.0 / 16,
-                      dtype=dtype, freeze_bn=freeze_bn, name="backbone")
+                      dtype=dtype, freeze_bn=freeze_bn,
+                      stem_input=stem_input, name="backbone")
+    if stem_input:
+        raise ValueError(f"stem_input is ResNet-only, got backbone {name!r}")
     if name in ("vgg16", "vgg19"):
         from tdnet.models.vgg import VGG, VGG_STAGES
 
@@ -146,11 +151,14 @@ class RetinaNet(nn.Module):
     prior_probability: float = 0.01
     dtype: Any = jnp.float32
     freeze_bn: bool = True
+    stem_input: bool = False  # images are precomputed stem activations
+    # (B, H/4, W/4, 64) from the fused ingest+stem kernel; same variables
+    # as the stem_input=False model (conv1/bn1 are simply unused)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         c3, c4, c5 = _build_backbone(
-            self.backbone_name, self.dtype, self.freeze_bn
+            self.backbone_name, self.dtype, self.freeze_bn, self.stem_input
         )(images)
 
         features = FPN(self.feature_size, dtype=self.dtype, name="fpn")(c3, c4, c5)

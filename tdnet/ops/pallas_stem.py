@@ -307,7 +307,12 @@ def fused_stem_packed(
         + w2 * w4 * cbytes                              # dmat
         + 4 * tm * f * w4 * out_dtype_itemsize(out_dtype)
     )
-    vmem_limit = min(100 * 1024 * 1024, 2 * in_bytes + work_bytes + (4 << 20))
+    # generous: Mosaic's stack accounting runs ~1.5x the hand count (the
+    # measured OOM asked 23.66M where the count said ~16M); v5e has 128 MB
+    # physical VMEM so over-asking only trims double-buffer headroom
+    vmem_limit = min(
+        100 * 1024 * 1024, 2 * in_bytes + 2 * work_bytes + (8 << 20)
+    )
     params = {}
     if pltpu is not None and not interpret:
         cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams

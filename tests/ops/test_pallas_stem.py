@@ -123,3 +123,34 @@ def test_rejects_bad_inputs():
     with pytest.raises(TypeError, match="requires a normalize mode"):
         fused_stem(jnp.zeros((1, 32, 64, 3), jnp.uint8), kernel7, inv, off,
                    interpret=True)
+
+
+def test_stem_input_model_matches_full_model():
+    """RetinaNet(stem_input=True) on fused-stem activations == the full
+    model on the normalized images, with the SAME variables (the fused
+    inference path: ship packed uint8, Pallas ingest+stem, model from C2)."""
+    from tdnet.models.resnet import stem_params_from_variables
+    from tdnet.models.retinanet import RetinaNet
+    from tdnet.ops.pallas_stem import fused_stem_packed
+
+    full = RetinaNet(num_classes=2, dtype=jnp.float32)
+    variables = full.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))
+
+    r = np.random.RandomState(3)
+    raw = r.randint(0, 256, (2, 64, 128, 3)).astype(np.uint8)
+    x_norm = jnp.asarray(raw.astype(np.float32) - np.asarray(CAFFE_MEAN_BGR))
+    want = full.apply(variables, x_norm)
+
+    k7, inv, off = stem_params_from_variables(variables)
+    act = fused_stem_packed(
+        jnp.asarray(raw.reshape(2, 64, 128 * 3)), k7, inv, off,
+        normalize="caffe", out_dtype=jnp.float32, interpret=True,
+    )
+    stem_model = RetinaNet(num_classes=2, dtype=jnp.float32, stem_input=True)
+    got = stem_model.apply(variables, act)
+
+    for key in ("regression", "classification"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]),
+            rtol=2e-4, atol=2e-3,
+        )

@@ -90,3 +90,59 @@ def test_batched_evaluate_identical_aps(predictor_pair):
         ap_b, n_b = aps_batched[label]
         assert n_s == n_b
         assert ap_s == pytest.approx(ap_b, abs=1e-9)
+
+
+def test_device_preprocess_flat_boundary_equivalence():
+    """The uint8 jit boundary ships the flat (R, 3072) byte matrix (layout
+    trap: a NHWC uint8 jit arg gets C padded 3->128 on TPU). Flat and NHWC
+    forms of the same bytes must decode to identical detections."""
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))
+    pred = Predictor(
+        model, variables, min_side=64, max_side=96, buckets=[(64, 128)],
+        score_threshold=0.01, use_pallas=False, device_preprocess=True,
+        batch_size=2,
+    )
+    rng = np.random.RandomState(7)
+    stack = rng.randint(0, 256, (2, 64, 128, 3), dtype=np.uint8)
+    run = pred._pipeline((64, 128))
+    det_flat = run(pred.variables, jnp.asarray(stack.reshape(-1, 3072)))
+    det_nhwc = run(pred.variables, jnp.asarray(stack))
+    np.testing.assert_allclose(
+        np.asarray(det_flat.scores), np.asarray(det_nhwc.scores),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(det_flat.boxes), np.asarray(det_nhwc.boxes),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_flat.labels), np.asarray(det_nhwc.labels))
+
+
+def test_predict_batch_ships_flat_bytes_when_device_preprocess():
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))
+    pred = Predictor(
+        model, variables, min_side=64, max_side=96,
+        buckets=[(64, 128), (128, 64)],
+        score_threshold=0.01, use_pallas=False, device_preprocess=True,
+        batch_size=2,
+    )
+    seen = []
+    orig = pred._pipeline
+
+    def spy(bucket):
+        fn = orig(bucket)
+
+        def wrapped(variables, images):
+            seen.append(images.shape)
+            return fn(variables, images)
+
+        return wrapped
+
+    pred._pipeline = spy
+    images = _images(2, seed=5)
+    out = pred.predict_batch(images)
+    assert len(out) == 2 and all(o is not None for o in out)
+    assert seen and all(len(s) == 2 and s[1] == 3072 for s in seen)
