@@ -77,7 +77,13 @@ class LoaderConfig:
     max_boxes: int = 64  # GT padding (documents rarely exceed a few tables)
     preprocess_mode: str = "caffe"
     # ship uint8 canvases and normalize inside the jitted step (4x less
-    # host->device traffic; train/step.py applies preprocess_image_device)
+    # host->device traffic; train/step.py applies preprocess_image_device).
+    # NOTE (round-3 isolation matrix): on a small from-scratch overfit run
+    # the uint8 quantization + mean-pixel pad fill measurably slowed
+    # convergence (epoch-20 loss 2.92 vs 2.39 float) — prefer the float
+    # path for small-dataset training; uint8 shines for transfer-bound
+    # inference/eval and large-scale training where the input pipeline is
+    # the bottleneck.
     device_normalize: bool = False
     buckets: Optional[List[Tuple[int, int]]] = None
     shuffle: bool = True

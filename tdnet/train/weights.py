@@ -190,6 +190,12 @@ def bn_warmup(
     with the OLD stats of earlier BNs), so it is an initialization aid, not
     a substitute for pretrained weights — but it restores the conditioning
     the reference gets from ImageNet BN statistics.
+
+    MEASURED (round-3 isolation matrix, v5e, 48 synthetic pages, 20 epochs
+    at lr 1e-3): warm-up SLOWED small-dataset from-scratch overfitting
+    (epoch-20 loss 3.48 vs 2.39 plain; mAP ~0 vs 0.59) — the frozen stats
+    drift out of date as the stem weights move. Prefer it only when the
+    conv weights start near their final values (ImageNet import).
     """
     sums = None
     count = 0

@@ -33,7 +33,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default="/tmp/tdnet_conv")
     p.add_argument("--pages", type=int, default=48)
-    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--out", default="artifacts/convergence_r3")
@@ -48,18 +48,27 @@ def main() -> int:
 
     from tdnet.bin import evaluate, train
 
+    # Recipe notes (round-3 isolation matrix, /tmp/conv_sweep/iso_*):
+    # - the Keras-parity plateau default (patience 2) halves the LR on
+    #   epoch-loss noise long before convergence -> patience 40;
+    # - a single-batch probe (tools/probe_reg.py) drives reg loss 4.9 -> 0.04
+    #   in 300 steps, and the 48-page run needs ~10x that optimization
+    #   budget: mAP hits 1.0 at epoch 86 and holds ~0.998 through 216;
+    # - at epoch 217 a 250-epoch run BLEW UP (loss 0.45 -> 38 -> 1934):
+    #   Adam's second moments go tiny at near-zero loss, so one gradient
+    #   spike produces a catastrophic step (clipnorm 100 = effectively
+    #   unclipped; the reference's Keras default is clipnorm 1e-3).
+    #   Default epochs=150 stops well inside the measured stable zone.
     rc = train.main([
         "--batch-size", str(args.batch_size), "--steps", "0",
         "--epochs", str(args.epochs), "--lr", str(args.lr),
-        "--clipnorm", "100.0", "--bn-warmup", "8",
-        # overfit run: the Keras-parity plateau default (patience 2) halves
-        # the LR on epoch-loss noise long before convergence
-        "--reduce-lr-patience", "10", "--reduce-lr-factor", "0.5",
+        "--clipnorm", "100.0",
+        "--reduce-lr-patience", "40", "--reduce-lr-factor", "0.5",
         "--image-min-side", "320", "--image-max-side", "448",
-        "--snapshot-path", os.path.join(args.workdir, "snaps"),
+        "--no-snapshots",
         "--model-path", os.path.join(args.workdir, "model.tdn"),
         "--metrics-path", metrics, "--log-every", "12",
-        "--evaluation", "--eval-batch-size", "8", "--device-normalize",
+        "--evaluation", "--eval-batch-size", "8",
         "csv", f"{data}/annotations.csv", f"{data}/classes.csv",
         "--val-annotations", f"{data}/annotations.csv",
     ])
