@@ -9,10 +9,13 @@ vs_baseline is measured against that.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-Env overrides: BENCH_BATCH (default 64 — best measured throughput:
-256.7 img/s vs 252.7 @48 and 244.2 @32), BENCH_ITERS (default 10),
-BENCH_DTYPE (bf16|f32, default bf16), BENCH_PALLAS (1|0, default 1:
-tiled Pallas NMS kernel vs jnp fixpoint NMS).
+Default config (round 3): batch 64, bf16, Pallas NMS, and BENCH_STEM=1 —
+raw uint8 page canvases through the fused Pallas ingest+stem kernel
+(258.4 img/s vs 256.9 for prenormalized f32 input; the product's real
+ingest path, 4x less host->device transfer). Env overrides: BENCH_BATCH,
+BENCH_ITERS (default 10), BENCH_DTYPE (bf16|f32), BENCH_PALLAS (1|0),
+BENCH_STEM (1|0), BENCH_STEM_TM (default 2, measured best),
+BENCH_FUSED=1 (flat-normalize uint8 arm, no stem fusion).
 """
 
 from __future__ import annotations
@@ -69,8 +72,8 @@ def main() -> int:
     # uint8 crosses the boundary as (B, H, W*3) packed rows and only the
     # pooled C=64 activations ever exist on device). BENCH_STEM_TM tunes
     # the kernel's row-block size.
-    fused_stem = os.environ.get("BENCH_STEM", "0") == "1"
-    stem_tm = int(os.environ.get("BENCH_STEM_TM", "4"))
+    fused_stem = os.environ.get("BENCH_STEM", "1") == "1"
+    stem_tm = int(os.environ.get("BENCH_STEM_TM", "2"))
     if fused_stem:
         from tdnet.models.retinanet import RetinaNet as _RN
 
@@ -126,7 +129,19 @@ def main() -> int:
     # compile + warmup. NOTE: on the tunneled axon platform
     # block_until_ready is not a reliable completion barrier — a host fetch
     # of an output (device_get) is; checksum also guards against DCE.
-    det = pipeline(variables, images)
+    try:
+        det = pipeline(variables, images)
+    except Exception as e:  # Mosaic compile flake (transient tunnel HTTP
+        # 500s observed) — fall back to the prenormalized arm so the
+        # benchmark always produces a number
+        if not fused_stem:
+            raise
+        print(f"# fused-stem arm failed ({str(e)[:120]}); "
+              "falling back to prenormalized_f32", file=sys.stderr)
+        fused_stem = False
+        x = rng_np.uniform(-116, 139, (batch,) + bucket + (3,))
+        images = jax.device_put(jnp.asarray(x, jnp.float32))
+        det = pipeline(variables, images)
     checksum = float(jax.device_get(det.scores).sum())
     det = pipeline(variables, images)
     jax.device_get(det.scores)
@@ -160,7 +175,10 @@ def main() -> int:
             f"soft_{soft_nms_sigma}" if soft_nms_sigma > 0
             else ("pallas" if use_pallas else "jnp")
         ),
-        "ingestion": "fused_uint8" if fused else "prenormalized_f32",
+        "ingestion": (
+            "fused_stem_uint8" if fused_stem
+            else ("fused_uint8" if fused else "prenormalized_f32")
+        ),
         "median_step_ms": round(dt * 1000, 2),
         "device": jax.devices()[0].device_kind,
         "checksum": round(checksum, 2),

@@ -54,7 +54,12 @@ def parse_args(argv=None):
                         help="ship uint8 canvases, normalize in-graph (4x "
                              "less host->device traffic; pixel values round "
                              "to uint8 before resize, so results can differ "
-                             "at the last decimal from the host-norm path)")
+                             "at the last decimal from the host-norm path). "
+                             "On TPU with a ResNet backbone this also "
+                             "engages the fused Pallas ingest+stem kernel")
+    parser.add_argument("--no-fused-stem", action="store_true",
+                        help="keep the flat-normalize uint8 path instead of "
+                             "the fused ingest+stem kernel")
     return parser.parse_args(argv)
 
 
@@ -116,6 +121,7 @@ def main(argv=None) -> int:
         pre_nms_top_k=args.pre_nms_top_k,
         batch_size=args.eval_batch_size,
         device_preprocess=args.device_normalize,
+        fused_stem=False if args.no_fused_stem else None,
         soft_nms_sigma=(
             args.soft_nms_sigma if args.soft_nms_sigma is not None
             else inference.get("soft_nms_sigma", 0.0)

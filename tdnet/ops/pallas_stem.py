@@ -215,7 +215,7 @@ def fused_stem(
     normalize: Optional[str] = None,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
-    tm: int = 4,
+    tm: int = 2,
 ) -> jnp.ndarray:
     """images (B,H,W,3) [uint8 when `normalize`, else float already
     normalized] -> pooled stem activations (B, H/4, W/4, F).
@@ -252,7 +252,7 @@ def fused_stem_packed(
     normalize: Optional[str] = None,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
-    tm: int = 4,
+    tm: int = 2,
 ) -> jnp.ndarray:
     """fused_stem on the packed (B, H, W*3) byte-row view (the jit-boundary
     form — a free numpy view of the contiguous NHWC host batch)."""

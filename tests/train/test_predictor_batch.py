@@ -146,3 +146,26 @@ def test_predict_batch_ships_flat_bytes_when_device_preprocess():
     out = pred.predict_batch(images)
     assert len(out) == 2 and all(o is not None for o in out)
     assert seen and all(len(s) == 2 and s[1] == 3072 for s in seen)
+
+
+def test_fused_stem_predictor_matches_flat_path():
+    """device_preprocess + fused_stem=True (packed bytes -> Pallas
+    ingest+stem -> stem_input model) must produce the same detections as
+    the flat-normalize uint8 path (same canvases, same semantics)."""
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))
+    kwargs = dict(
+        min_side=64, max_side=96, buckets=[(64, 128), (128, 64)],
+        score_threshold=0.01, use_pallas=False, device_preprocess=True,
+        batch_size=2,
+    )
+    flat = Predictor(model, variables, fused_stem=False, **kwargs)
+    stem = Predictor(model, variables, fused_stem=True, **kwargs)
+    images = _images(4, seed=11)
+    out_flat = flat.predict_batch(images)
+    out_stem = stem.predict_batch(images)
+    for (fb, fs, fl), (sb, ss, sl) in zip(out_flat, out_stem):
+        valid = fs > 0.02  # clear of the threshold so both paths keep them
+        np.testing.assert_allclose(ss[valid], fs[valid], rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(sb[valid], fb[valid], rtol=1e-3, atol=0.5)
+        np.testing.assert_array_equal(sl[valid], fl[valid])

@@ -108,15 +108,24 @@ def main():
         except Exception as e:
             print(f"{name:22s} FAIL {str(e)[:300]}", flush=True)
 
+    if os.environ.get("STEM3_CHECK", "1") != "1":
+        return
+
+    # on-device correctness: small batch (the batch-32 combined jit takes
+    # many minutes to compile through the tunnel)
+    nb = min(4, batch)
+
     @jax.jit
-    def maxdiff():
-        a = xla_float(xf).astype(jnp.float32)
-        b = pallas_float(tms[0])(xfp).astype(jnp.float32)
-        return jnp.max(jnp.abs(a - b))
+    def maxdiff(xa, xb):  # args, NOT closure constants (a closed-over
+        # 100 MB batch gets baked into the HLO -> HTTP 413 at compile)
+        a = xla_float(xa).astype(jnp.float32)
+        b = pallas_float(tms[0])(xb).astype(jnp.float32)
+        return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(a))
 
     try:
-        print("max |xla - pallas| (float arm) =",
-              float(jax.device_get(maxdiff())))
+        d, m = jax.device_get(maxdiff(xf[:nb], xfp[:nb]))
+        print(f"max |xla - pallas| (float arm, batch {nb}) = {float(d):.4g}"
+              f" (max |ref| {float(m):.4g})")
     except Exception as e:
         print("maxdiff FAIL", str(e)[:200])
 
