@@ -9,10 +9,11 @@ vs_baseline is measured against that.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-Default config (round 3): batch 64, bf16, Pallas NMS, and BENCH_STEM=1 —
-raw uint8 page canvases through the fused Pallas ingest+stem kernel
-(258.4 img/s vs 256.9 for prenormalized f32 input; the product's real
-ingest path, 4x less host->device transfer). Env overrides: BENCH_BATCH,
+Default config (round 3): batch 128 (measured sweep peak: 267.9 img/s vs
+258.4 @64, 261.9 @96, 259.3 @160, 262.4 @192), bf16, Pallas NMS, and
+BENCH_STEM=1 — raw uint8 page canvases through the fused Pallas
+ingest+stem kernel (the product's real ingest path, 4x less host->device
+transfer; beats the prenormalized-f32 arm outright). Env overrides: BENCH_BATCH,
 BENCH_ITERS (default 10), BENCH_DTYPE (bf16|f32), BENCH_PALLAS (1|0),
 BENCH_STEM (1|0), BENCH_STEM_TM (default 2, measured best),
 BENCH_FUSED=1 (flat-normalize uint8 arm, no stem fusion).
@@ -39,7 +40,7 @@ def main() -> int:
     from tdnet.models.detect import detections_from_outputs
     from tdnet.models.retinanet import RetinaNet
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     dtype = (
         jnp.bfloat16
