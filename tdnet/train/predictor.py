@@ -230,7 +230,20 @@ class Predictor:
                     stack.size % 3072) == 0:
                 # free host-side view; see _pipeline on the layout trap
                 stack = stack.reshape(-1, 3072)
-            det = self._pipeline(bucket)(self.variables, jnp.asarray(stack))
+            try:
+                det = self._pipeline(bucket)(self.variables, jnp.asarray(stack))
+            except Exception:
+                if not (self.fused_stem and stack.ndim == 3):
+                    raise
+                # transient Mosaic/tunnel compile flakes (HTTP 500) observed
+                # on this platform — fall back to the flat-normalize path
+                # permanently for this predictor rather than failing eval
+                self.fused_stem = False
+                if stack.size % 3072 == 0:
+                    flat = stack.reshape(-1, 3072)
+                else:  # odd custom bucket: NHWC uint8 fallback
+                    flat = stack.reshape(stack.shape[:2] + (-1, 3))
+                det = self._pipeline(bucket)(self.variables, jnp.asarray(flat))
             boxes = np.asarray(det.boxes, np.float64)
             scores = np.asarray(det.scores, np.float64)
             labels = np.asarray(det.labels, np.int64)

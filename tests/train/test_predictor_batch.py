@@ -169,3 +169,25 @@ def test_fused_stem_predictor_matches_flat_path():
         np.testing.assert_allclose(ss[valid], fs[valid], rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(sb[valid], fb[valid], rtol=1e-3, atol=0.5)
         np.testing.assert_array_equal(sl[valid], fl[valid])
+
+
+def test_fused_stem_compile_failure_falls_back(monkeypatch):
+    """A Mosaic/tunnel compile flake in the fused-stem path must not fail
+    eval: the predictor permanently drops to the flat-normalize path."""
+    import tdnet.ops.pallas_stem as ps
+
+    def boom(*a, **k):
+        raise RuntimeError("INTERNAL: remote_compile: HTTP 500")
+
+    monkeypatch.setattr(ps, "fused_stem_packed", boom)
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))
+    pred = Predictor(
+        model, variables, min_side=64, max_side=96,
+        buckets=[(64, 128), (128, 64)], score_threshold=0.01,
+        use_pallas=False, device_preprocess=True, batch_size=2,
+        fused_stem=True,
+    )
+    out = pred.predict_batch(_images(2, seed=13))
+    assert len(out) == 2 and all(o is not None for o in out)
+    assert pred.fused_stem is False
