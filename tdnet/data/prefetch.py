@@ -26,6 +26,28 @@ __all__ = ["prefetch_to_device", "DevicePrefetcher"]
 _SENTINEL = object()
 
 
+def _pack_uint8_images(batch):
+    """Pack NHWC uint8 canvases to (B, H, W*3) byte rows — a free host-side
+    view — before crossing the jit boundary. A (B, H, W, 3) uint8 jit
+    argument gets the TPU's padded T(8,128) layout (C: 3 -> 128 lanes, a
+    42x physical blowup; +86 ms/step measured at batch 32), so ALL uint8
+    shipping in tdnet uses flat/packed byte matrices (ops/pallas_ingest.py,
+    train/step.py, train/predictor.py)."""
+    import numpy as np
+
+    if (
+        isinstance(batch, dict)
+        and isinstance(batch.get("images"), np.ndarray)
+        and batch["images"].dtype == np.uint8
+        and batch["images"].ndim == 4
+        and batch["images"].shape[-1] == 3
+    ):
+        b, h, w, _ = batch["images"].shape
+        batch = dict(batch)
+        batch["images"] = batch["images"].reshape(b, h, w * 3)
+    return batch
+
+
 class DevicePrefetcher:
     """Iterator wrapper; see module docstring."""
 
@@ -39,6 +61,7 @@ class DevicePrefetcher:
                 for batch in iterator:
                     if self._stop.is_set():
                         return
+                    batch = _pack_uint8_images(batch)
                     if sharding is not None:
                         # multi-host aware: local shard -> global array
                         from tdnet.parallel.mesh import make_global_batch

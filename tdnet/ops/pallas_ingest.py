@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 
 from tdnet.data.image import CAFFE_MEAN_BGR
 
-__all__ = ["normalize_uint8", "normalize_uint8_flat", "supports_shape"]
+__all__ = [
+    "normalize_uint8",
+    "normalize_uint8_flat",
+    "normalize_uint8_rows",
+    "supports_shape",
+]
 
 _ROW = 3072  # 1024 pixels x 3 channels; 24 lane-tiles of 128
 
@@ -63,6 +68,58 @@ def _kernel(x_ref, mean_ref, o_ref, *, scale: float):
     jax.jit,
     static_argnames=("mode", "out_dtype", "interpret", "block_rows"),
 )
+def normalize_uint8_rows(
+    mat: jnp.ndarray,
+    mode: str = "caffe",
+    out_dtype=jnp.float32,
+    interpret: Optional[bool] = None,
+    block_rows: int = 256,
+) -> jnp.ndarray:
+    """(R, W3) uint8 byte matrix (W3 % 3 == 0) -> normalized out_dtype.
+
+    General-width form of :func:`normalize_uint8_flat` — e.g. the train
+    step's packed (B, H, W*3) canvases viewed as (B*H, W*3) rows. The
+    per-channel mean/scale pattern repeats every 3 lanes, so the mean row
+    is a trace-time (1, W3) constant.
+    """
+    if mat.dtype != jnp.uint8:
+        raise TypeError(f"normalize_uint8 expects uint8, got {mat.dtype}")
+    if mat.ndim != 2 or mat.shape[-1] % 3 != 0:
+        raise ValueError(f"expected (R, W3) with W3 %% 3 == 0, got {mat.shape}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    w3 = mat.shape[-1]
+    if mode == "caffe":
+        mean = np.tile(np.asarray(CAFFE_MEAN_BGR, np.float32), w3 // 3)
+        scale = 1.0
+    elif mode == "tf":
+        mean = np.full((w3,), 127.5, np.float32)
+        scale = 1.0 / 127.5
+    else:
+        raise ValueError(f"unknown preprocessing mode {mode!r}")
+    mean_row = jnp.asarray(mean)[None, :]  # (1, W3)
+
+    rows = mat.shape[0]
+    block_rows = min(block_rows, rows)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, w3), lambda i: (i, 0)),
+            pl.BlockSpec((1, w3), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, w3), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, w3), out_dtype),
+        interpret=interpret,
+    )(mat, mean_row)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "out_dtype", "interpret", "block_rows"),
+)
 def normalize_uint8_flat(
     flat: jnp.ndarray,
     mode: str = "caffe",
@@ -79,37 +136,12 @@ def normalize_uint8_flat(
     the boundary (a free numpy view on the host: contiguous NHWC bytes)
     and reshape the normalized float output back to NHWC inside the jit.
     """
-    if flat.dtype != jnp.uint8:
-        raise TypeError(f"normalize_uint8 expects uint8, got {flat.dtype}")
     if flat.ndim != 2 or flat.shape[-1] != _ROW:
         raise ValueError(f"expected (R, {_ROW}), got {flat.shape}")
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    if mode == "caffe":
-        mean = np.tile(np.asarray(CAFFE_MEAN_BGR, np.float32), _ROW // 3)
-        scale = 1.0
-    elif mode == "tf":
-        mean = np.full((_ROW,), 127.5, np.float32)
-        scale = 1.0 / 127.5
-    else:
-        raise ValueError(f"unknown preprocessing mode {mode!r}")
-    mean_row = jnp.asarray(mean)[None, :]  # (1, 3072)
-
-    rows = flat.shape[0]
-    block_rows = min(block_rows, rows)
-
-    return pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
-        grid=(pl.cdiv(rows, block_rows),),
-        in_specs=[
-            pl.BlockSpec((block_rows, _ROW), lambda i: (i, 0)),
-            pl.BlockSpec((1, _ROW), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_rows, _ROW), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, _ROW), out_dtype),
-        interpret=interpret,
-    )(flat, mean_row)
+    return normalize_uint8_rows(
+        flat, mode=mode, out_dtype=out_dtype, interpret=interpret,
+        block_rows=block_rows,
+    )
 
 
 @functools.partial(

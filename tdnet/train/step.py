@@ -145,7 +145,18 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, batch):
         images = batch["images"]
-        if images.dtype == jnp.uint8:
+        if images.dtype == jnp.uint8 and images.ndim == 3:
+            # packed (B, H, W*3) byte rows (data/prefetch.py packs them —
+            # the NHWC uint8 jit-argument layout trap costs 42x physical
+            # memory on TPU). Normalized by the Pallas ingest kernel.
+            from tdnet.ops.pallas_ingest import normalize_uint8_rows
+
+            b, h, w3 = images.shape
+            images = normalize_uint8_rows(
+                images.reshape(b * h, w3), preprocess_mode,
+                out_dtype=getattr(model, "dtype", None) or jnp.float32,
+            ).reshape(b, h, w3 // 3, 3)
+        elif images.dtype == jnp.uint8:
             from tdnet.data.image import preprocess_image_device
 
             images = preprocess_image_device(

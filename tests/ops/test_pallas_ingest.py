@@ -73,3 +73,25 @@ def test_dispatch_fallback_on_cpu_matches():
     via_api = preprocess_image_device(jnp.asarray(x), "caffe")
     via_kernel = normalize_uint8(jnp.asarray(x), mode="caffe", interpret=True)
     np.testing.assert_array_equal(np.asarray(via_api), np.asarray(via_kernel))
+
+
+def test_rows_general_width_matches_oracle():
+    """normalize_uint8_rows on the packed train-step width (W3 = W*3, not
+    3072) matches the numpy oracle exactly for caffe."""
+    from tdnet.data.image import CAFFE_MEAN_BGR
+    from tdnet.ops.pallas_ingest import normalize_uint8_rows
+
+    r = np.random.RandomState(5)
+    mat = r.randint(0, 256, (24, 96 * 3), dtype=np.uint8)  # W=96
+    got = normalize_uint8_rows(jnp.asarray(mat), "caffe", interpret=True)
+    want = mat.astype(np.float32) - np.tile(
+        np.asarray(CAFFE_MEAN_BGR, np.float32), 96)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_rows_rejects_non_multiple_of_3():
+    from tdnet.ops.pallas_ingest import normalize_uint8_rows
+
+    with pytest.raises(ValueError):
+        normalize_uint8_rows(
+            jnp.zeros((4, 128), jnp.uint8), "caffe", interpret=True)

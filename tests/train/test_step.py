@@ -104,3 +104,53 @@ def test_train_step_on_8_device_mesh():
     # params remain replicated after the update
     kernel = new_state.params["fpn"]["P3"]["kernel"]
     assert kernel.sharding.is_fully_replicated
+
+
+def test_train_step_packed_uint8_matches_float():
+    """The packed (B, H, W*3) uint8 train path (data/prefetch.py packing +
+    the Pallas rows-normalize in the step) must produce the same loss and
+    gradients-effect as the float path on integer-valued images."""
+    import numpy as np
+
+    from tdnet.data.image import CAFFE_MEAN_BGR
+    from tdnet.models.retinanet import RetinaNet
+    from tdnet.train.step import (create_optimizer, create_train_state,
+                                  make_train_step)
+
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 64, 96, 3),
+        tx=create_optimizer(1e-3, 100.0),
+    )
+    step = make_train_step(model, 1)
+
+    r = np.random.RandomState(2)
+    raw = r.randint(0, 256, (2, 64, 96, 3)).astype(np.uint8)
+    gt_boxes = jnp.asarray([[[10.0, 10.0, 50.0, 40.0]]] * 2)
+    gt_labels = jnp.zeros((2, 1), jnp.int32)
+    gt_mask = jnp.ones((2, 1), bool)
+    hw = jnp.asarray([[64, 96]] * 2, jnp.int32)
+
+    common = dict(gt_boxes=gt_boxes, gt_labels=gt_labels,
+                  gt_mask=gt_mask, image_hw=hw)
+    batch_f = dict(images=jnp.asarray(
+        raw.astype(np.float32) - np.asarray(CAFFE_MEAN_BGR, np.float32)),
+        **common)
+    batch_u8 = dict(images=jnp.asarray(raw.reshape(2, 64, 96 * 3)), **common)
+
+    _, m_f = step(state, batch_f)
+    _, m_u8 = step(state, batch_u8)
+    assert float(m_u8["loss"]) == pytest.approx(float(m_f["loss"]), rel=1e-5)
+    assert float(m_u8["num_positive"]) == float(m_f["num_positive"])
+
+
+def test_prefetch_packs_uint8_batches():
+    from tdnet.data.prefetch import _pack_uint8_images
+    import numpy as np
+
+    b = {"images": np.zeros((2, 8, 12, 3), np.uint8), "x": 1}
+    out = _pack_uint8_images(b)
+    assert out["images"].shape == (2, 8, 36) and out["x"] == 1
+    # float batches pass through untouched
+    bf = {"images": np.zeros((2, 8, 12, 3), np.float32)}
+    assert _pack_uint8_images(bf)["images"].shape == (2, 8, 12, 3)

@@ -42,8 +42,18 @@ def main() -> int:
 
     rng = np.random.RandomState(0)
     m = 8
+    # TRAIN_BENCH_U8=1: packed uint8 canvases (the --device-normalize
+    # loader path after data/prefetch.py packing) instead of f32
+    u8 = os.environ.get("TRAIN_BENCH_U8", "0") == "1"
+    if u8:
+        images = rng.randint(
+            0, 256, (batch,) + bucket + (3,), dtype=np.uint8
+        ).reshape(batch, bucket[0], bucket[1] * 3)
+    else:
+        images = rng.uniform(
+            -116, 139, (batch,) + bucket + (3,)).astype(np.float32)
     host_batch = {
-        "images": rng.uniform(-116, 139, (batch,) + bucket + (3,)).astype(np.float32),
+        "images": images,
         "gt_boxes": np.tile(
             np.array([[[100.0, 100.0, 600.0, 500.0]]], np.float32), (batch, m, 1)
         ),
@@ -79,6 +89,7 @@ def main() -> int:
                 "unit": "images/sec/chip",
                 "median_step_ms": round(dt * 1000, 2),
                 "batch": batch,
+                "input": "packed_uint8" if u8 else "f32",
                 "loss0": round(loss0, 3),
                 "device": jax.devices()[0].device_kind,
             }
