@@ -58,7 +58,10 @@ def main() -> int:
         int(v) for v in os.environ.get("BENCH_BUCKET", "800x1344").split("x")
     )
 
-    model = RetinaNet(num_classes=num_classes, backbone_name=backbone, dtype=dtype)
+    # output_dtype=None: heads' native dtype at the boundary; the deferred
+    # tail (models/detect.py) upcasts only the K candidates (bit-identical)
+    model = RetinaNet(num_classes=num_classes, backbone_name=backbone,
+                      dtype=dtype, output_dtype=None)
     rng = jax.random.PRNGKey(0)
     init_images = jnp.zeros((1,) + bucket + (3,), jnp.float32)
     variables = jax.jit(model.init)(rng, init_images)
@@ -80,7 +83,7 @@ def main() -> int:
 
         stem_model = _RN(
             num_classes=num_classes, backbone_name=backbone, dtype=dtype,
-            stem_input=True,
+            stem_input=True, output_dtype=None,
         )
 
     @jax.jit
@@ -146,6 +149,15 @@ def main() -> int:
     checksum = float(jax.device_get(det.scores).sum())
     det = pipeline(variables, images)
     jax.device_get(det.scores)
+
+    # BENCH_PROFILE=<dir>: capture a profiler trace of a few steps (the
+    # committed round trace artifacts under traces/ come from this)
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            for _ in range(3):
+                det = pipeline(variables, images)
+            jax.device_get(det.scores)
 
     # chain several dispatches per timed sample and fetch once, so the
     # tunnel round-trip amortizes instead of being counted per step

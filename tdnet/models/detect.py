@@ -49,22 +49,57 @@ def detections_from_outputs(
     pre_nms_top_k: int = 1024,
     use_pallas: Optional[bool] = None,
     soft_nms_sigma: float = 0.0,
+    deferred: Optional[bool] = None,
 ) -> Detections:
     """Full inference tail for a batch of model outputs.
 
     `image_shape_hw` is the STATIC padded canvas shape the batch was resized
     into — detections are in that coordinate frame; divide by the per-image
     resize scale on the host afterwards (reference: §4.2 `boxes /= scale`).
+
+    `deferred=None` (auto) selects the deferred-decode tail for the default
+    (nms + class-specific) combination: candidates are chosen on raw logits
+    and only the K survivors are decoded — same results, ~GB less HBM
+    traffic per large-batch step (ops/nms.py batched_detections_deferred).
+    Pass False to force the legacy decode-everything order.
     """
+    from tdnet.ops.nms import (
+        batched_detections_deferred,
+        batched_filter_detections,
+        default_use_pallas,
+    )
+
+    if use_pallas is None:  # Pallas kernel on TPU by default
+        use_pallas = default_use_pallas()
+
+    if deferred is None:
+        deferred = nms and class_specific_filter
+    if deferred:
+        if not (nms and class_specific_filter):
+            raise ValueError(
+                "deferred tail covers nms=True, class_specific_filter=True")
+        anchors = jnp.asarray(
+            anchors_for_shape(image_shape_hw, anchor_params=anchor_params),
+            jnp.float32,
+        )
+        return batched_detections_deferred(
+            outputs["regression"],
+            outputs["classification"],
+            anchors,
+            image_shape_hw,
+            classification_is_logits=classification_is_logits,
+            score_threshold=score_threshold,
+            max_detections=max_detections,
+            nms_threshold=nms_threshold,
+            pre_nms_top_k=pre_nms_top_k,
+            use_pallas=use_pallas,
+            soft_nms_sigma=soft_nms_sigma,
+        )
+
     boxes = decode_boxes(outputs["regression"], image_shape_hw, anchor_params)
     scores = outputs["classification"]
     if classification_is_logits:
         scores = jax.nn.sigmoid(scores)
-
-    from tdnet.ops.nms import batched_filter_detections, default_use_pallas
-
-    if use_pallas is None:  # Pallas kernel on TPU by default
-        use_pallas = default_use_pallas()
 
     return batched_filter_detections(
         boxes,

@@ -154,6 +154,11 @@ class RetinaNet(nn.Module):
     stem_input: bool = False  # images are precomputed stem activations
     # (B, H/4, W/4, 64) from the fused ingest+stem kernel; same variables
     # as the stem_input=False model (conv1/bn1 are simply unused)
+    output_dtype: Any = jnp.float32  # losses/legacy decode want f32; None
+    # keeps the heads' compute dtype (bf16) at the boundary — the deferred
+    # inference tail upcasts only the K candidates (the f32 cast of a bf16
+    # value is exact, so results are bit-identical; saves the ~0.5 GB/step
+    # boundary cast at batch 128 plus half the top-k/gather traffic)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -185,8 +190,10 @@ class RetinaNet(nn.Module):
         classification = jnp.concatenate(
             [cls_subnet(f).reshape(b, -1, self.num_classes) for f in features], axis=1
         )
-        # heads run in compute dtype (bf16); emit fp32 for losses/decode
-        return {
-            "regression": regression.astype(jnp.float32),
-            "classification": classification.astype(jnp.float32),
-        }
+        # heads run in compute dtype (bf16); emit output_dtype (f32 for
+        # losses/legacy decode, None = native for the deferred tail)
+        out = self.output_dtype
+        if out is not None:
+            regression = regression.astype(out)
+            classification = classification.astype(out)
+        return {"regression": regression, "classification": classification}

@@ -40,6 +40,7 @@ __all__ = [
     "Detections",
     "default_use_pallas",
     "exact_topk_lastdim",
+    "batched_detections_deferred",
 ]
 
 
@@ -418,5 +419,172 @@ def _batched_filter_detections_pallas(
         out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
         out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
         out_labels = jnp.pad(out_labels, ((0, 0), (0, pad)), constant_values=-1)
+
+    return Detections(out_boxes, out_scores, out_labels)
+
+
+def batched_detections_deferred(
+    regression: jnp.ndarray,
+    classification: jnp.ndarray,
+    anchors: jnp.ndarray,
+    image_shape_hw,
+    classification_is_logits: bool = True,
+    score_threshold: float = 0.05,
+    max_detections: int = 300,
+    nms_threshold: float = 0.5,
+    pre_nms_top_k: int = 1024,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+    soft_nms_sigma: float = 0.0,
+    topk_groups: int = 32,
+) -> Detections:
+    """Deferred-decode inference tail for the flagship combination
+    (nms=True, class_specific_filter=True): select candidates FIRST, then
+    decode only the K survivors.
+
+    The legacy order (decode_boxes over all (B, N, 4), sigmoid over
+    (B, N, C), then gather) streams ~1.3 GB of activation traffic per
+    batch-128 step through HBM before the first candidate is even chosen.
+    This path reorders the exact same math:
+
+    - candidate top-k runs on RAW logits: sigmoid is strictly monotone, so
+      top-k by logit == top-k by score, and `sigmoid(x) > t` == `x >
+      logit(t)`. The pre-mask uses a CONSERVATIVE logit threshold (widened
+      by a few ulp of the logit dtype); the exact `score > t` f32 mask is
+      re-applied to the K candidates, so threshold semantics are
+      bit-identical to the legacy path (over-included impostors rank below
+      every true candidate and are re-masked).
+    - decode+clip (bbox_transform_inv/clip_boxes, reference RegressBoxes/
+      ClipBoxes semantics) runs on gathered (B, C, K, 4) candidate rows in
+      f32 — elementwise per anchor row, so gather-then-decode is
+      bit-identical to decode-then-gather (legacy), verified in tests.
+    - final per-image boxes come from the (B, C*cap, 4) candidate table,
+      never from the full (B, N, 4) tensor.
+
+    Exactness caveat (documented, not observed in practice): candidate
+    ORDER ties differ from the legacy path only if two DISTINCT f32 logits
+    collapse to the same f32 sigmoid score (requires |dx| ~ 1e-7). Model
+    logits live on the bf16 grid (heads compute in bf16; the f32 cast is
+    exact), where adjacent values are ~0.004 apart — no collapse possible.
+
+    Measured (v5e, batch 128, 800x1344, C=1): legacy tail 58.3 ms (Pallas
+    NMS) / 54.1 (jnp) -> deferred [see PERF.md round-3 tail table].
+    """
+    b, n, c = classification.shape
+    k = min(pre_nms_top_k, n)
+
+    if classification_is_logits:
+        import math as _math
+
+        t = _math.log(score_threshold / (1.0 - score_threshold))
+        eps = float(jnp.finfo(classification.dtype).eps)
+        margin = max(1e-4, 8.0 * eps * max(abs(t), 1.0))
+        pre_thr = jnp.asarray(t - margin, classification.dtype)
+    else:
+        pre_thr = jnp.asarray(score_threshold, classification.dtype)
+
+    masked = jnp.where(classification > pre_thr, classification, -jnp.inf)
+    masked = jnp.transpose(masked, (0, 2, 1))  # (B, C, N)
+    top_raw, top_idx = exact_topk_lastdim(masked, k, groups=topk_groups)
+
+    if classification_is_logits:
+        cand_scores = jax.nn.sigmoid(top_raw.astype(jnp.float32))
+        # exact threshold semantics: re-mask candidate scores in f32
+        cand_scores = jnp.where(
+            cand_scores > score_threshold, cand_scores, -jnp.inf)
+    else:
+        cand_scores = jnp.where(
+            top_raw > score_threshold, top_raw, -jnp.inf
+        ).astype(jnp.float32)
+
+    # decode ONLY the candidates, always in f32 (anchor coords are exact
+    # f32; candidate deltas upcast exactly from bf16/f32)
+    from tdnet.ops.boxes import bbox_transform_inv, clip_boxes
+
+    cand_reg = jnp.take_along_axis(
+        regression[:, None, :, :], top_idx[..., None], axis=2
+    ).astype(jnp.float32)  # (B, C, K, 4)
+    cand_anchors = jnp.take(
+        anchors.astype(jnp.float32), top_idx, axis=0)  # (B, C, K, 4)
+    cand_boxes = clip_boxes(
+        bbox_transform_inv(cand_anchors, cand_reg), image_shape_hw)
+
+    valid = cand_scores > score_threshold  # == cand_scores > -inf
+
+    if soft_nms_sigma > 0.0:
+        flat_boxes = cand_boxes.reshape(b * c, k, 4)
+        flat_scores = jnp.where(valid, cand_scores, 0.0).reshape(b * c, k)
+        soft_kwargs = dict(
+            method="gaussian", sigma=soft_nms_sigma,
+            score_threshold=score_threshold, max_selections=max_detections)
+        if use_pallas:
+            from tdnet.ops.soft_nms import soft_nms_rescore_batched
+
+            rescored = soft_nms_rescore_batched(
+                flat_boxes, flat_scores,
+                interpret=pallas_interpret or None, **soft_kwargs)
+        else:  # bit-parity with the legacy per-class jnp rescore
+            from tdnet.ops.soft_nms import soft_nms_rescore
+
+            rescored = jax.vmap(
+                lambda bx, sc: soft_nms_rescore(bx, sc, **soft_kwargs)
+            )(flat_boxes, flat_scores)
+        rescored = rescored.reshape(b, c, k)
+        kept_scores = jnp.where(rescored > score_threshold, rescored, -jnp.inf)
+    elif use_pallas:
+        from tdnet.ops.pallas_nms import TILE, pallas_nms_keep
+
+        k_pad = k + ((-k) % TILE)
+        fb = cand_boxes.reshape(b * c, k, 4)
+        fv = valid.reshape(b * c, k)
+        if k_pad != k:
+            fb = jnp.pad(fb, ((0, 0), (0, k_pad - k), (0, 0)))
+            fv = jnp.pad(fv, ((0, 0), (0, k_pad - k)))
+        keep = pallas_nms_keep(
+            fb, fv, iou_threshold=nms_threshold, interpret=pallas_interpret,
+        )[:, :k].reshape(b, c, k)
+        kept_scores = jnp.where(keep, cand_scores, -jnp.inf)
+    else:
+        keep = jax.vmap(
+            lambda bx, v: _nms_keep_presorted(
+                bx, v, nms_threshold, False, False)
+        )(cand_boxes.reshape(b * c, k, 4), valid.reshape(b * c, k))
+        kept_scores = jnp.where(keep.reshape(b, c, k), cand_scores, -jnp.inf)
+
+    # per-class cap, EXACTLY mirroring the legacy paths: only sort when the
+    # candidate set exceeds the cap (tie order of the class merge depends
+    # on it)
+    cand_boxes_f = cand_boxes  # (B, C, K, 4)
+    if k > max_detections:
+        kept_scores, sel = jax.lax.top_k(kept_scores, max_detections)
+        cand_boxes_f = jnp.take_along_axis(
+            cand_boxes, sel[..., None], axis=2)
+
+    # merge classes, global top max_detections per image
+    mc = kept_scores.shape[2]
+    all_scores = kept_scores.reshape(b, c * mc)
+    all_boxes = cand_boxes_f.reshape(b, c * mc, 4)
+    labels_grid = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.int32)[None, :, None], (b, c, mc)
+    ).reshape(b, c * mc)
+
+    out_k = min(max_detections, all_scores.shape[1])
+    top_scores2, sel2 = jax.lax.top_k(all_scores, out_k)
+    sel_boxes = jnp.take_along_axis(all_boxes, sel2[..., None], axis=1)
+    sel_labels = jnp.take_along_axis(labels_grid, sel2, axis=1)
+
+    valid2 = top_scores2 > -jnp.inf
+    out_boxes = jnp.where(valid2[..., None], sel_boxes, -1.0)
+    out_scores = jnp.where(valid2, top_scores2, -1.0)
+    out_labels = jnp.where(valid2, sel_labels, -1).astype(jnp.int32)
+
+    pad = max_detections - out_k
+    if pad > 0:
+        out_boxes = jnp.pad(
+            out_boxes, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
+        out_scores = jnp.pad(
+            out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
+        out_labels = jnp.pad(
+            out_labels, ((0, 0), (0, pad)), constant_values=-1)
 
     return Detections(out_boxes, out_scores, out_labels)

@@ -45,6 +45,14 @@ class Predictor:
         batch_size: Optional[int] = None,
         fused_stem: Optional[bool] = None,
     ):
+        # deferred tail (the nms + class-specific default): keep the heads'
+        # native dtype at the model boundary — the tail upcasts only the K
+        # candidates to f32, bit-identical to casting everything (tested in
+        # tests/ops/test_deferred_tail.py), and the boundary cast plus half
+        # the top-k/gather traffic disappear
+        if (nms and class_specific_filter
+                and getattr(model, "output_dtype", None) is not None):
+            model = model.clone(output_dtype=None)
         self.model = model
         # predict_batch batch size: the per-image reference loop (§4.3) left
         # ~30x throughput on the table on TPU; default to batched eval there

@@ -96,3 +96,23 @@ def test_end_to_end_detections(small_model_and_vars):
     assert det.scores.shape == (1, 7)
     # cold-start scores ~0.01 are all below the 0.05 threshold -> all padded
     assert (np.asarray(det.scores) == -1).all()
+
+
+def test_output_dtype_none_keeps_native_boundary(small_model_and_vars):
+    # output_dtype=None: the heads' compute dtype crosses the boundary and
+    # the values are exactly the pre-cast ones (the f32 default is a cast)
+    _, variables, x = small_model_and_vars
+    bf = RetinaNet(num_classes=2, dtype=jnp.bfloat16, output_dtype=None)
+    f32b = RetinaNet(num_classes=2, dtype=jnp.bfloat16)  # default boundary
+    out_bf = bf.apply(variables, x)
+    out_f32 = f32b.apply(variables, x)
+    assert out_bf["classification"].dtype == jnp.bfloat16
+    assert out_f32["classification"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out_bf["regression"].astype(jnp.float32)),
+        np.asarray(out_f32["regression"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_bf["classification"].astype(jnp.float32)),
+        np.asarray(out_f32["classification"]),
+    )
