@@ -57,6 +57,13 @@ def parse_args(argv=None):
                              "at the last decimal from the host-norm path). "
                              "On TPU with a ResNet backbone this also "
                              "engages the fused Pallas ingest+stem kernel")
+    parser.add_argument("--distributed", default=None, type=str,
+                        metavar="COORD:PORT,NPROC,RANK",
+                        help="multi-host eval: jax.distributed bring-up; "
+                             "prediction is sharded across processes and "
+                             "detections all-gathered — identical metrics "
+                             "at 1/NPROC the prediction cost (rank 0 "
+                             "prints)")
     parser.add_argument("--no-fused-stem", action="store_true",
                         help="keep the flat-normalize uint8 path instead of "
                              "the fused ingest+stem kernel")
@@ -98,6 +105,12 @@ def load_any_model(path, args, num_classes, dtype):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.distributed:
+        from tdnet.bin.train import _maybe_init_distributed
+
+        _maybe_init_distributed(args.distributed)
+    shard = jax.process_count() > 1
+    rank0 = jax.process_index() == 0
     dataset = make_dataset(args, "train")
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
@@ -134,7 +147,24 @@ def main(argv=None) -> int:
         iou_threshold=args.iou_threshold,
         score_threshold=args.score_threshold,
         max_detections=args.max_detections,
+        shard=shard,
     )
+
+    coco_res = None
+    if args.coco:
+        from tdnet.utils.coco_eval import evaluate_coco, summarize_coco
+
+        # run BEFORE the rank gate: the sharded gather is a collective
+        coco_res = evaluate_coco(
+            dataset, predictor,
+            score_threshold=args.score_threshold,
+            max_detections=args.max_detections,
+            shard=shard,
+        )
+
+    if not rank0:
+        # sharded eval: every rank holds the identical result; one prints
+        return 0
 
     # reference output format (bin/evaluate.py main tail)
     total_instances = 0
@@ -159,14 +189,10 @@ def main(argv=None) -> int:
           f"{weighted / total_instances:.4f}")
     print(f"mAP: {simple_sum / max(present, 1):.4f}")
 
-    if args.coco:
-        from tdnet.utils.coco_eval import evaluate_coco, summarize_coco
+    if coco_res is not None:
+        from tdnet.utils.coco_eval import summarize_coco
 
-        res = evaluate_coco(
-            dataset, predictor,
-            score_threshold=args.score_threshold,
-            max_detections=args.max_detections,
-        )
+        res = coco_res
         print(summarize_coco(res))
         for k, v in res.items():
             if k.startswith("AP_") and k not in (

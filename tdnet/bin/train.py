@@ -245,16 +245,18 @@ def main(argv=None) -> int:
     )
 
     evaluate_fn = None
-    if ((args.evaluation or args.coco_evaluation) and val_ds is not None
-            and jax.process_index() != 0):
-        # Multi-host: per-epoch eval runs on rank 0 only — the Predictor is
-        # process-local, so every rank running the FULL val set would be
-        # redundant work; eval feeds only logging (plateau-LR monitors the
-        # train loss, which is a global scalar identical on every rank), so
-        # skipping it cannot desynchronize ranks.
-        print("per-epoch evaluation: rank 0 only (this is rank "
-              f"{jax.process_index()})")
-    elif (args.evaluation or args.coco_evaluation) and val_ds is not None:
+    if (args.evaluation or args.coco_evaluation) and val_ds is not None:
+        # Multi-host: per-epoch eval is SHARDED — every rank predicts its
+        # strided slice of the val set and the detections are all-gathered
+        # (utils/eval.py _get_detections shard=True), so each rank computes
+        # the identical, bit-exact metrics of a single-process eval at 1/P
+        # of the prediction cost. All ranks reach the epoch boundary at the
+        # same global step (globally consistent batch sequence), so the
+        # gather cannot desynchronize.
+        shard_eval = jax.process_count() > 1
+        if shard_eval and jax.process_index() == 0:
+            print(f"per-epoch evaluation: sharded over "
+                  f"{jax.process_count()} processes")
         # one Predictor reused across epochs (weights are an argument of its
         # jitted pipeline, so swapping them does not retrace/recompile)
         predictor = Predictor(
@@ -277,10 +279,10 @@ def main(argv=None) -> int:
             if args.coco_evaluation:
                 from tdnet.utils.coco_eval import evaluate_coco
 
-                res = evaluate_coco(val_ds, predictor)
+                res = evaluate_coco(val_ds, predictor, shard=shard_eval)
                 # numeric keys only (AP/AP50/.../AR100 + per-class)
                 return {k: float(v) for k, v in res.items()}
-            aps = evaluate(val_ds, predictor)
+            aps = evaluate(val_ds, predictor, shard=shard_eval)
             # 'mAP' is the UNWEIGHTED class mean — the reference Evaluate
             # callback's default (weighted only behind --weighted-average);
             # the annotation-weighted value is logged under its own key.

@@ -28,6 +28,7 @@ __all__ = [
     "shard_batch",
     "make_global_batch",
     "initialize_distributed",
+    "process_allgather_rows",
 ]
 
 DATA_AXIS = "data"
@@ -85,3 +86,42 @@ def make_global_batch(batch, sharding) -> dict:
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         batch,
     )
+
+
+def process_allgather_rows(rows: np.ndarray) -> np.ndarray:
+    """All-gather a host-side (n_local, d) array across processes along
+    axis 0 (n_local may differ per process). Single-process: returns the
+    input unchanged. Used by the sharded evaluator (utils/eval.py) to
+    collect per-image detection rows; the result is identical on every
+    process, so no broadcast step is needed afterwards.
+
+    Implementation: pad the ragged axis to the global max, one
+    multihost_utils.process_allgather of the padded block + one of the
+    counts, then strip padding per process (rank-ordered). The block is
+    transported as raw BYTES: with x64 disabled (the default), a float64
+    array fed to jax would be silently downcast to f32 — viewing as uint8
+    keeps every dtype bit-exact through the collective."""
+    if jax.process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils
+
+    rows = np.ascontiguousarray(rows)
+    n_local = rows.shape[0]
+    counts = multihost_utils.process_allgather(
+        np.asarray([n_local], np.int32))  # (P,) or (P,1)
+    counts = np.asarray(counts).reshape(-1)
+    n_max = int(counts.max())
+    if n_max == 0:
+        return rows
+    pad = np.zeros((n_max - n_local,) + rows.shape[1:], rows.dtype)
+    block = np.concatenate([rows, pad], axis=0)
+    as_bytes = np.ascontiguousarray(block).view(np.uint8).reshape(n_max, -1)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(as_bytes), np.uint8
+    ).reshape(len(counts), n_max, -1)  # (P, n_max, rowbytes)
+    out = [
+        gathered[p, : counts[p]].reshape(-1).view(rows.dtype).reshape(
+            (counts[p],) + rows.shape[1:])
+        for p in range(len(counts))
+    ]
+    return np.concatenate(out, axis=0)

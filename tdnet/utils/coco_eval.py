@@ -185,9 +185,13 @@ def evaluate_coco(
     predictor: Callable,
     score_threshold: float = 0.05,
     max_detections: int = 100,
+    shard: bool = False,
 ) -> Dict[str, float]:
-    """Full COCO summary over a dataset. `predictor` as in utils/eval.py."""
-    all_detections = _get_detections(dataset, predictor, score_threshold, max_detections)
+    """Full COCO summary over a dataset. `predictor` as in utils/eval.py;
+    shard=True splits prediction across jax processes (utils/eval.py
+    _get_detections) — identical results on every process."""
+    all_detections = _get_detections(
+        dataset, predictor, score_threshold, max_detections, shard=shard)
     num_images = dataset.size()
 
     # per (image, class): GT boxes + per-annotation areas when the dataset

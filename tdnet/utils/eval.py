@@ -38,8 +38,23 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
-def _get_detections(dataset, predictor, score_threshold, max_detections):
+def _get_detections(dataset, predictor, score_threshold, max_detections,
+                    shard=False):
+    """Collect per-(image, class) detection arrays from the predictor.
+
+    shard=True + an initialized jax.distributed runtime: each process
+    predicts only its strided slice of the dataset (prediction is the
+    expensive part) and the filtered detection rows are all-gathered
+    (parallel/mesh.py process_allgather_rows), so every process returns the
+    IDENTICAL full detection set — downstream matching/AP is bit-identical
+    to a single-process run (tested in tests/parallel/).
+    """
+    import jax
+
     num_classes = dataset.num_classes()
+    nproc = jax.process_count() if shard else 1
+    rank = jax.process_index() if shard else 0
+    my_images = list(range(rank, dataset.size(), nproc))
     all_detections = [
         [None for _ in range(num_classes)] for _ in range(dataset.size())
     ]
@@ -65,15 +80,42 @@ def _get_detections(dataset, predictor, score_threshold, max_detections):
                 all_detections[i][label] = dets[labels == label]
 
     if predict_batch is not None and batch_size > 1:
-        for start in range(0, dataset.size(), batch_size):
-            idxs = list(range(start, min(start + batch_size, dataset.size())))
+        for start in range(0, len(my_images), batch_size):
+            idxs = my_images[start:start + batch_size]
             images = [dataset.load_image(i) for i in idxs]
             for i, (boxes, scores, labels) in zip(idxs, predict_batch(images)):
                 record(i, boxes, scores, labels)
     else:
-        for i in range(dataset.size()):
+        for i in my_images:
             boxes, scores, labels = predictor(dataset.load_image(i))
             record(i, boxes, scores, labels)
+
+    if nproc > 1:
+        from tdnet.parallel.mesh import process_allgather_rows
+
+        # encode (image, label, x1, y1, x2, y2, score) rows in local record
+        # order (per-image score-descending), gather, rebuild — relative
+        # order per (image, label) survives, so matching is bit-identical
+        rows = []
+        for i in my_images:
+            for label in range(num_classes):
+                d = all_detections[i][label]
+                if d is None or d.shape[0] == 0:
+                    continue
+                meta = np.full((d.shape[0], 2), (i, label), np.float64)
+                rows.append(np.concatenate([meta, d], axis=1))
+        local = (
+            np.concatenate(rows, axis=0)
+            if rows else np.zeros((0, 7), np.float64)
+        )
+        gathered = process_allgather_rows(local)
+        empty = np.zeros((0, 5), np.float64)
+        for i in range(dataset.size()):
+            img_rows = gathered[gathered[:, 0] == i]
+            for label in range(num_classes):
+                if dataset.has_label(label):
+                    all_detections[i][label] = img_rows[
+                        img_rows[:, 1] == label][:, 2:]
     return all_detections
 
 
@@ -98,9 +140,15 @@ def evaluate(
     iou_threshold: float = 0.5,
     score_threshold: float = 0.05,
     max_detections: int = 100,
+    shard: bool = False,
 ) -> Dict[int, Tuple[float, int]]:
-    """Evaluate a predictor over a dataset -> {label: (AP, num_annotations)}."""
-    all_detections = _get_detections(dataset, predictor, score_threshold, max_detections)
+    """Evaluate a predictor over a dataset -> {label: (AP, num_annotations)}.
+
+    shard=True splits PREDICTION across jax processes (strided) and
+    all-gathers the detections — every process returns the identical,
+    bit-exact result of a single-process run (see _get_detections)."""
+    all_detections = _get_detections(
+        dataset, predictor, score_threshold, max_detections, shard=shard)
     all_annotations = _get_annotations(dataset)
     average_precisions: Dict[int, Tuple[float, int]] = {}
 

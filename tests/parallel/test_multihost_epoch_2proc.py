@@ -113,9 +113,10 @@ def test_two_process_full_epoch_uneven_dataset(tmp_path):
     for out in outs:
         assert out.count("--steps 0: using one dataset pass = 5 steps/epoch") == 2
 
-    # eval ran on rank 0 only; the resume restored the epoch-1 snapshot
-    assert "mAP" in outs[0]
-    assert "per-epoch evaluation: rank 0 only" in outs[1]
+    # per-epoch eval is sharded across ranks (identical metrics everywhere);
+    # the resume restored the epoch-1 snapshot
+    assert "per-epoch evaluation: sharded over 2 processes" in outs[0]
+    assert "mAP" in outs[0] and "mAP" in outs[1]
     for out in outs:
         assert "resumed from step 5 (epoch 1)" in out
 
