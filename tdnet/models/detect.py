@@ -65,6 +65,7 @@ def detections_from_outputs(
     """
     from tdnet.ops.nms import (
         batched_detections_deferred,
+        batched_detections_deferred_shared,
         batched_filter_detections,
         default_use_pallas,
     )
@@ -73,28 +74,34 @@ def detections_from_outputs(
         use_pallas = default_use_pallas()
 
     if deferred is None:
-        deferred = nms and class_specific_filter
+        # soft-NMS is per-class only (legacy shared branch ignores it —
+        # keep that combination on the legacy path rather than reinterpret)
+        deferred = nms and (class_specific_filter or soft_nms_sigma == 0.0)
     if deferred:
-        if not (nms and class_specific_filter):
+        if not nms:
+            raise ValueError("deferred tail requires nms=True")
+        if not class_specific_filter and soft_nms_sigma > 0.0:
             raise ValueError(
-                "deferred tail covers nms=True, class_specific_filter=True")
+                "soft-NMS is class-specific (reference semantics)")
         anchors = jnp.asarray(
             anchors_for_shape(image_shape_hw, anchor_params=anchor_params),
             jnp.float32,
         )
-        return batched_detections_deferred(
-            outputs["regression"],
-            outputs["classification"],
-            anchors,
-            image_shape_hw,
+        common = dict(
             classification_is_logits=classification_is_logits,
             score_threshold=score_threshold,
             max_detections=max_detections,
             nms_threshold=nms_threshold,
             pre_nms_top_k=pre_nms_top_k,
             use_pallas=use_pallas,
-            soft_nms_sigma=soft_nms_sigma,
         )
+        if class_specific_filter:
+            return batched_detections_deferred(
+                outputs["regression"], outputs["classification"], anchors,
+                image_shape_hw, soft_nms_sigma=soft_nms_sigma, **common)
+        return batched_detections_deferred_shared(
+            outputs["regression"], outputs["classification"], anchors,
+            image_shape_hw, **common)
 
     boxes = decode_boxes(outputs["regression"], image_shape_hw, anchor_params)
     scores = outputs["classification"]

@@ -41,6 +41,7 @@ __all__ = [
     "default_use_pallas",
     "exact_topk_lastdim",
     "batched_detections_deferred",
+    "batched_detections_deferred_shared",
 ]
 
 
@@ -576,6 +577,108 @@ def batched_detections_deferred(
     valid2 = top_scores2 > -jnp.inf
     out_boxes = jnp.where(valid2[..., None], sel_boxes, -1.0)
     out_scores = jnp.where(valid2, top_scores2, -1.0)
+    out_labels = jnp.where(valid2, sel_labels, -1).astype(jnp.int32)
+
+    pad = max_detections - out_k
+    if pad > 0:
+        out_boxes = jnp.pad(
+            out_boxes, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
+        out_scores = jnp.pad(
+            out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
+        out_labels = jnp.pad(
+            out_labels, ((0, 0), (0, pad)), constant_values=-1)
+
+    return Detections(out_boxes, out_scores, out_labels)
+
+
+def batched_detections_deferred_shared(
+    regression: jnp.ndarray,
+    classification: jnp.ndarray,
+    anchors: jnp.ndarray,
+    image_shape_hw,
+    classification_is_logits: bool = True,
+    score_threshold: float = 0.05,
+    max_detections: int = 300,
+    nms_threshold: float = 0.5,
+    pre_nms_top_k: int = 1024,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+    topk_groups: int = 32,
+) -> Detections:
+    """Deferred-decode tail for the SHARED-NMS combination
+    (nms=True, class_specific_filter=False): per-anchor max score + argmax
+    label, ONE suppression pass over the merged candidate set (reference:
+    filter_detections.py else-branch). Same reordering as
+    batched_detections_deferred — the full-tensor work shrinks to one
+    max/argmax sweep over (B, N, C); sigmoid, decode and clip touch only
+    the K candidates. argmax over logits == argmax over sigmoid scores
+    (strictly monotone, ties to the lower class index either way)."""
+    b, n, c = classification.shape
+    k = min(pre_nms_top_k, n)
+
+    if classification_is_logits:
+        import math as _math
+
+        t = _math.log(score_threshold / (1.0 - score_threshold))
+        eps = float(jnp.finfo(classification.dtype).eps)
+        margin = max(1e-4, 8.0 * eps * max(abs(t), 1.0))
+        pre_thr = jnp.asarray(t - margin, classification.dtype)
+    else:
+        pre_thr = jnp.asarray(score_threshold, classification.dtype)
+
+    max_raw = jnp.max(classification, axis=2)  # (B, N)
+    arg_labels = jnp.argmax(classification, axis=2).astype(jnp.int32)
+
+    masked = jnp.where(max_raw > pre_thr, max_raw, -jnp.inf)
+    top_raw, top_idx = exact_topk_lastdim(masked, k, groups=topk_groups)
+
+    if classification_is_logits:
+        cand_scores = jax.nn.sigmoid(top_raw.astype(jnp.float32))
+        cand_scores = jnp.where(
+            cand_scores > score_threshold, cand_scores, -jnp.inf)
+    else:
+        cand_scores = jnp.where(
+            top_raw > score_threshold, top_raw, -jnp.inf
+        ).astype(jnp.float32)
+
+    from tdnet.ops.boxes import bbox_transform_inv, clip_boxes
+
+    cand_reg = jnp.take_along_axis(
+        regression, top_idx[..., None], axis=1).astype(jnp.float32)
+    cand_anchors = jnp.take(anchors.astype(jnp.float32), top_idx, axis=0)
+    cand_boxes = clip_boxes(
+        bbox_transform_inv(cand_anchors, cand_reg), image_shape_hw)
+    cand_labels = jnp.take_along_axis(arg_labels, top_idx, axis=1)
+
+    valid = cand_scores > score_threshold  # (B, K)
+    if use_pallas:
+        from tdnet.ops.pallas_nms import TILE, pallas_nms_keep
+
+        k_pad = k + ((-k) % TILE)
+        fb, fv = cand_boxes, valid
+        if k_pad != k:
+            fb = jnp.pad(fb, ((0, 0), (0, k_pad - k), (0, 0)))
+            fv = jnp.pad(fv, ((0, 0), (0, k_pad - k)))
+        keep = pallas_nms_keep(
+            fb, fv, iou_threshold=nms_threshold, interpret=pallas_interpret,
+        )[:, :k]
+    else:
+        keep = jax.vmap(
+            lambda bx, v: _nms_keep_presorted(bx, v, nms_threshold, False,
+                                              False)
+        )(cand_boxes, valid)
+    kept_scores = jnp.where(keep, cand_scores, -jnp.inf)  # (B, K)
+
+    # final global top-k (the shared path has no per-class cap — reference
+    # applies max_detections once, at the merge)
+    out_k = min(max_detections, k)
+    top_scores, sel = jax.lax.top_k(kept_scores, out_k)
+    sel_boxes = jnp.take_along_axis(cand_boxes, sel[..., None], axis=1)
+    sel_labels = jnp.take_along_axis(cand_labels, sel, axis=1)
+
+    valid2 = top_scores > -jnp.inf
+    out_boxes = jnp.where(valid2[..., None], sel_boxes, -1.0)
+    out_scores = jnp.where(valid2, top_scores, -1.0)
     out_labels = jnp.where(valid2, sel_labels, -1).astype(jnp.int32)
 
     pad = max_detections - out_k

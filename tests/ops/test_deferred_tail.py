@@ -110,3 +110,44 @@ def test_deferred_rejects_unsupported_combo():
     det = detections_from_outputs(
         outputs, BUCKET, nms=False, use_pallas=False)
     assert np.asarray(det.scores).shape[1] == 300
+
+
+@pytest.mark.parametrize("classes", [1, 3])
+def test_deferred_shared_filter_equals_legacy(classes):
+    # class_specific_filter=False: per-anchor max/argmax + one shared NMS
+    outputs = _outputs(np.random.RandomState(13), 2, classes)
+    common = dict(image_shape_hw=BUCKET, class_specific_filter=False,
+                  pre_nms_top_k=256, use_pallas=False)
+    ref = detections_from_outputs(outputs, deferred=False, **common)
+    got = detections_from_outputs(outputs, deferred=True, **common)
+    _assert_equal(got, ref)
+
+
+def test_deferred_shared_pallas_arm():
+    outputs = _outputs(np.random.RandomState(17), 2, 2)
+    from tdnet.ops.anchors import anchors_for_shape
+    from tdnet.ops.nms import batched_detections_deferred_shared
+
+    anchors = jnp.asarray(anchors_for_shape(BUCKET), jnp.float32)
+    ref = detections_from_outputs(
+        outputs, BUCKET, class_specific_filter=False, pre_nms_top_k=256,
+        use_pallas=False, deferred=True)
+    got = batched_detections_deferred_shared(
+        outputs["regression"], outputs["classification"], anchors, BUCKET,
+        pre_nms_top_k=256, use_pallas=True, pallas_interpret=True)
+    _assert_equal(got, ref)
+
+
+def test_deferred_shared_soft_nms_routes_to_legacy():
+    # auto mode keeps (shared + soft-NMS) on the legacy path; forcing
+    # deferred raises
+    outputs = _outputs(np.random.RandomState(19), 1, 2)
+    det = detections_from_outputs(
+        outputs, BUCKET, class_specific_filter=False, soft_nms_sigma=0.5,
+        pre_nms_top_k=256, use_pallas=False)
+    assert np.asarray(det.scores).shape == (1, 300)
+    with pytest.raises(ValueError):
+        detections_from_outputs(
+            outputs, BUCKET, class_specific_filter=False,
+            soft_nms_sigma=0.5, pre_nms_top_k=256, use_pallas=False,
+            deferred=True)
