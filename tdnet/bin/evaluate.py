@@ -190,8 +190,6 @@ def main(argv=None) -> int:
     print(f"mAP: {simple_sum / max(present, 1):.4f}")
 
     if coco_res is not None:
-        from tdnet.utils.coco_eval import summarize_coco
-
         res = coco_res
         print(summarize_coco(res))
         for k, v in res.items():

@@ -424,6 +424,28 @@ def _batched_filter_detections_pallas(
     return Detections(out_boxes, out_scores, out_labels)
 
 
+def _conservative_logit_threshold(score_threshold: float, dtype) -> jnp.ndarray:
+    """Pre-mask threshold in LOGIT space for the deferred tails.
+
+    sigmoid(x) > t  ==  x > logit(t); the returned value is widened by a
+    few ulp so rounding can only over-include (the exact f32
+    `score > score_threshold` re-mask on the K candidates restores
+    bit-identical threshold semantics). Degenerate thresholds short-cut:
+    t <= 0 keeps every anchor as a candidate (legacy still drops scores
+    that underflow to exactly 0.0 — the re-mask does too), t >= 1 keeps
+    none."""
+    import math as _math
+
+    if score_threshold <= 0.0:
+        return jnp.asarray(-jnp.inf, dtype)
+    if score_threshold >= 1.0:
+        return jnp.asarray(jnp.inf, dtype)
+    t = _math.log(score_threshold / (1.0 - score_threshold))
+    eps = float(jnp.finfo(dtype).eps)
+    margin = max(1e-4, 8.0 * eps * max(abs(t), 1.0))
+    return jnp.asarray(t - margin, dtype)
+
+
 def batched_detections_deferred(
     regression: jnp.ndarray,
     classification: jnp.ndarray,
@@ -462,11 +484,16 @@ def batched_detections_deferred(
     - final per-image boxes come from the (B, C*cap, 4) candidate table,
       never from the full (B, N, 4) tensor.
 
-    Exactness caveat (documented, not observed in practice): candidate
-    ORDER ties differ from the legacy path only if two DISTINCT f32 logits
-    collapse to the same f32 sigmoid score (requires |dx| ~ 1e-7). Model
-    logits live on the bf16 grid (heads compute in bf16; the f32 cast is
-    exact), where adjacent values are ~0.004 apart — no collapse possible.
+    Exactness caveat: candidate ORDER differs from the legacy path only
+    where two DISTINCT logits collapse to the same f32 sigmoid score.
+    For |logit| < ~16.6 f32 sigmoid is injective on the bf16 logit grid
+    (adjacent values ~0.004 apart vs score spacing >= ~4.5e-5 * 0.004),
+    so ordering — and hence the full output — is bit-identical. For
+    logits >= ~16.6 (scores within 1 ulp of 1.0f) the legacy path breaks
+    the score tie by anchor index while this path ranks by raw logit (a
+    strictly finer confidence order); the kept set can then differ in
+    tie order only, among detections whose scores are all 1.0f-epsilon.
+    tests/ops/test_deferred_tail.py covers the injective regime.
 
     Measured (v5e, batch 128, 800x1344, C=1): legacy tail 58.3 ms (Pallas
     NMS) / 54.1 (jnp) -> deferred [see PERF.md round-3 tail table].
@@ -475,12 +502,8 @@ def batched_detections_deferred(
     k = min(pre_nms_top_k, n)
 
     if classification_is_logits:
-        import math as _math
-
-        t = _math.log(score_threshold / (1.0 - score_threshold))
-        eps = float(jnp.finfo(classification.dtype).eps)
-        margin = max(1e-4, 8.0 * eps * max(abs(t), 1.0))
-        pre_thr = jnp.asarray(t - margin, classification.dtype)
+        pre_thr = _conservative_logit_threshold(
+            score_threshold, classification.dtype)
     else:
         pre_thr = jnp.asarray(score_threshold, classification.dtype)
 
@@ -617,12 +640,8 @@ def batched_detections_deferred_shared(
     k = min(pre_nms_top_k, n)
 
     if classification_is_logits:
-        import math as _math
-
-        t = _math.log(score_threshold / (1.0 - score_threshold))
-        eps = float(jnp.finfo(classification.dtype).eps)
-        margin = max(1e-4, 8.0 * eps * max(abs(t), 1.0))
-        pre_thr = jnp.asarray(t - margin, classification.dtype)
+        pre_thr = _conservative_logit_threshold(
+            score_threshold, classification.dtype)
     else:
         pre_thr = jnp.asarray(score_threshold, classification.dtype)
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_nms_keep", "nms_keep_sorted"]
+__all__ = ["pallas_nms_keep", "pallas_nms_keep_rows", "nms_keep_sorted"]
 
 TILE = 128
 
@@ -113,6 +113,111 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, keep_scratch, *, iou_threshold, 
     @pl.when(i == num_tiles - 1)
     def _():
         keep_ref[0, 0:1, :] = keep_scratch[0:1, :]
+
+
+ROW_TILE = 4  # batch rows per grid step in the row-batched kernel
+
+
+def _nms_kernel_rows(boxes_ref, valid_ref, keep_ref, keep_scratch, *,
+                     iou_threshold, num_tiles):
+    """ROW_TILE batch rows per grid step; tiles walked by an in-kernel
+    fori_loop. Identical math to _nms_kernel, restructured so one kernel
+    invocation does a whole row-block's NMS: at batch 128 / K 1024 the
+    (batch, tile) grid runs 1024 steps whose blocks never change between
+    tile steps — this form runs B/ROW_TILE steps and keeps everything in
+    VMEM/registers across the tile walk. Per-row compute stays 2-D
+    (Mosaic-friendly); the row loop is unrolled (ROW_TILE independent
+    pipelines per step)."""
+    r = boxes_ref.shape[0]
+    k = boxes_ref.shape[2]
+
+    keep_scratch[...] = valid_ref[:, 0, :]
+
+    def tile_step(ti, _):
+        start = ti * TILE
+        for ri in range(r):  # unrolled: 2-D ops only
+            all_boxes = boxes_ref[ri]  # (4, K)
+            tile_boxes = boxes_ref[ri, :, pl.ds(start, TILE)]  # (4, T)
+
+            iou_tt = _pairwise_iou_tk(tile_boxes, tile_boxes)  # (T, T)
+            row = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+            supp_tt = ((iou_tt > iou_threshold) & (row < col)).astype(jnp.int32)
+
+            valid_tile = keep_scratch[ri:ri + 1, pl.ds(start, TILE)]  # (1, T)
+
+            def not_converged(carry):
+                keep, prev = carry
+                return jnp.any(keep != prev)
+
+            def sweep(carry):
+                keep, _prev = carry  # (1, T)
+                hit = jnp.max(supp_tt * keep.T, axis=0, keepdims=True)
+                return (valid_tile * (1 - hit), keep)
+
+            first = valid_tile * (
+                1 - jnp.max(supp_tt * valid_tile.T, axis=0, keepdims=True)
+            )
+            tile_keep, _ = jax.lax.while_loop(
+                not_converged, sweep, (first, valid_tile))
+            keep_scratch[ri:ri + 1, pl.ds(start, TILE)] = tile_keep
+
+            iou_tk = _pairwise_iou_tk(tile_boxes, all_boxes)  # (T, K)
+            later = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE, k), 1) >= (start + TILE)
+            hits = (iou_tk > iou_threshold) & later & (tile_keep.T > 0)
+            suppressed = jnp.max(hits.astype(jnp.int32), axis=0,
+                                 keepdims=True)  # (1, K)
+            keep_scratch[ri:ri + 1, :] = (
+                keep_scratch[ri:ri + 1, :] * (1 - suppressed))
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, tile_step, 0)
+    keep_ref[...] = keep_scratch[...][:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def pallas_nms_keep_rows(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float = 0.5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row-batched variant of :func:`pallas_nms_keep` (same contract:
+    score-sorted (B, K, 4) boxes + (B, K) valid -> (B, K) keep, exact
+    greedy NMS). Pads B to a multiple of ROW_TILE with valid=False rows."""
+    b, k, _ = boxes.shape
+    if k % TILE != 0:
+        raise ValueError(f"K={k} must be a multiple of {TILE}")
+    pad_b = (-b) % ROW_TILE
+    if pad_b:
+        boxes = jnp.pad(boxes, ((0, pad_b), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad_b), (0, 0)))
+    bp = b + pad_b
+    num_tiles = k // TILE
+
+    boxes_t = jnp.transpose(boxes, (0, 2, 1)).astype(jnp.float32)  # (B, 4, K)
+    valid_i = valid.astype(jnp.int32)[:, None, :]  # (B, 1, K)
+
+    kernel = functools.partial(
+        _nms_kernel_rows, iou_threshold=iou_threshold, num_tiles=num_tiles
+    )
+    keep = pl.pallas_call(
+        kernel,
+        grid=(bp // ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((ROW_TILE, 4, k), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE, 1, k), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_TILE, 1, k), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, 1, k), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ROW_TILE, k), jnp.int32)],
+        interpret=interpret,
+    )(boxes_t, valid_i)
+    return keep[:b, 0, :].astype(bool)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))

@@ -240,12 +240,22 @@ class Predictor:
                 stack = stack.reshape(-1, 3072)
             try:
                 det = self._pipeline(bucket)(self.variables, jnp.asarray(stack))
-            except Exception:
+            except Exception as exc:
                 if not (self.fused_stem and stack.ndim == 3):
                     raise
                 # transient Mosaic/tunnel compile flakes (HTTP 500) observed
                 # on this platform — fall back to the flat-normalize path
-                # permanently for this predictor rather than failing eval
+                # permanently for this predictor rather than failing eval.
+                # Loud: a real kernel/params bug would otherwise be masked
+                # by silently switching implementations mid-eval.
+                import sys as _sys
+
+                print(
+                    "tdnet: fused-stem pipeline failed "
+                    f"({type(exc).__name__}: {exc}); falling back to the "
+                    "flat-normalize path for this predictor",
+                    file=_sys.stderr,
+                )
                 self.fused_stem = False
                 if stack.size % 3072 == 0:
                     flat = stack.reshape(-1, 3072)

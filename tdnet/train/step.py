@@ -143,26 +143,52 @@ def make_train_step(
     focal_fn = focal(alpha=focal_alpha, gamma=focal_gamma, from_logits=True)
     l1_fn = smooth_l1(sigma=smooth_l1_sigma)
 
+    # pallas_call is an opaque custom call to the GSPMD partitioner: under a
+    # multi-device mesh it would force the batch-sharded global array to be
+    # gathered/replicated. Single device gets the Pallas ingest kernel; any
+    # sharded run takes a plain-jnp normalize (same math; XLA shards it
+    # like any other elementwise op).
+    single_device = jax.device_count() == 1
+
     def loss_fn(params, batch_stats, batch):
         images = batch["images"]
         if images.dtype == jnp.uint8 and images.ndim == 3:
             # packed (B, H, W*3) byte rows (data/prefetch.py packs them —
             # the NHWC uint8 jit-argument layout trap costs 42x physical
             # memory on TPU). Normalized by the Pallas ingest kernel.
-            from tdnet.ops.pallas_ingest import normalize_uint8_rows
-
             b, h, w3 = images.shape
-            images = normalize_uint8_rows(
-                images.reshape(b * h, w3), preprocess_mode,
-                out_dtype=getattr(model, "dtype", None) or jnp.float32,
-            ).reshape(b, h, w3 // 3, 3)
-        elif images.dtype == jnp.uint8:
-            from tdnet.data.image import preprocess_image_device
+            if single_device:
+                from tdnet.ops.pallas_ingest import normalize_uint8_rows
 
-            images = preprocess_image_device(
-                images, preprocess_mode,
-                out_dtype=getattr(model, "dtype", None),
-            )
+                images = normalize_uint8_rows(
+                    images.reshape(b * h, w3), preprocess_mode,
+                    out_dtype=getattr(model, "dtype", None) or jnp.float32,
+                ).reshape(b, h, w3 // 3, 3)
+            else:
+                from tdnet.data.image import CAFFE_MEAN_BGR
+
+                out_dtype = getattr(model, "dtype", None) or jnp.float32
+                x = images.reshape(b, h, w3 // 3, 3).astype(jnp.float32)
+                if preprocess_mode == "caffe":
+                    images = (x - jnp.asarray(CAFFE_MEAN_BGR)).astype(out_dtype)
+                else:  # tf mode — same multiply form as the Pallas kernel
+                    images = ((x - 127.5) * (1.0 / 127.5)).astype(out_dtype)
+        elif images.dtype == jnp.uint8:
+            from tdnet.data.image import (CAFFE_MEAN_BGR,
+                                          preprocess_image_device)
+
+            if single_device:
+                images = preprocess_image_device(
+                    images, preprocess_mode,
+                    out_dtype=getattr(model, "dtype", None),
+                )
+            else:  # keep pallas_call out of the partitioned graph
+                out_dtype = getattr(model, "dtype", None) or jnp.float32
+                x = images.astype(jnp.float32)
+                if preprocess_mode == "caffe":
+                    images = (x - jnp.asarray(CAFFE_MEAN_BGR)).astype(out_dtype)
+                else:
+                    images = ((x - 127.5) * (1.0 / 127.5)).astype(out_dtype)
         anchors = jnp.asarray(
             anchors_for_shape(images.shape[1:3], anchor_params=anchor_params),
             jnp.float32,

@@ -109,7 +109,6 @@ def _get_detections(dataset, predictor, score_threshold, max_detections,
             if rows else np.zeros((0, 7), np.float64)
         )
         gathered = process_allgather_rows(local)
-        empty = np.zeros((0, 5), np.float64)
         for i in range(dataset.size()):
             img_rows = gathered[gathered[:, 0] == i]
             for label in range(num_classes):

@@ -151,3 +151,18 @@ def test_deferred_shared_soft_nms_routes_to_legacy():
             outputs, BUCKET, class_specific_filter=False,
             soft_nms_sigma=0.5, pre_nms_top_k=256, use_pallas=False,
             deferred=True)
+
+
+@pytest.mark.parametrize("class_specific", [True, False])
+@pytest.mark.parametrize("thr", [0.0, -1.0, 1.0])
+def test_deferred_degenerate_score_thresholds(class_specific, thr):
+    """score_threshold <= 0 ("keep everything", the COCO-style eval
+    setting) and >= 1 must not crash the logit-space pre-mask
+    (regression: math.log(0) ValueError) and must match legacy."""
+    outputs = _outputs(np.random.RandomState(23), 2, 2)
+    common = dict(image_shape_hw=BUCKET, pre_nms_top_k=256,
+                  use_pallas=False, score_threshold=thr,
+                  class_specific_filter=class_specific)
+    ref = detections_from_outputs(outputs, deferred=False, **common)
+    got = detections_from_outputs(outputs, deferred=True, **common)
+    _assert_equal(got, ref)

@@ -2,6 +2,7 @@
 CPU; the real-TPU path is exercised by bench.py). Exact greedy equivalence
 is the contract."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -79,3 +80,26 @@ def test_pallas_k_not_multiple_of_tile_raises():
             np.zeros((1, 100, 4), np.float32), np.ones((1, 100), bool),
             interpret=True,
         )
+
+
+def test_rows_kernel_matches_tiled_kernel():
+    """pallas_nms_keep_rows (one grid step per ROW_TILE batch rows, tiles
+    walked in-kernel) must be bit-identical to pallas_nms_keep, including
+    non-multiple-of-ROW_TILE batch sizes (padded internally)."""
+    from tdnet.ops.pallas_nms import pallas_nms_keep_rows
+
+    r = np.random.RandomState(42)
+    for b, k in [(1, 128), (3, 256), (5, 512)]:
+        centers = r.uniform(0, 200, (b, k, 2))
+        wh = r.uniform(5, 60, (b, k, 2))
+        boxes = np.concatenate(
+            [centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+        scores = r.rand(b, k).astype(np.float32)
+        order = np.argsort(-scores, 1)
+        sboxes = jnp.asarray(np.take_along_axis(boxes, order[..., None], 1))
+        valid = jnp.asarray(np.take_along_axis(scores, order, 1) > 0.3)
+        ref = pallas_nms_keep(sboxes, valid, iou_threshold=0.5,
+                              interpret=True)
+        got = pallas_nms_keep_rows(sboxes, valid, iou_threshold=0.5,
+                                   interpret=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(got)), (b, k)
