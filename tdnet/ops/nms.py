@@ -342,7 +342,7 @@ def _batched_filter_detections_pallas(
     """Class-specific filtering with the Pallas NMS kernel, batched natively:
     candidates for every (batch, class) pair are gathered with one batched
     top-k and suppressed in one kernel launch with grid (B*C, K/128)."""
-    from tdnet.ops.pallas_nms import TILE, pallas_nms_keep
+    from tdnet.ops.pallas_nms import TILE, pallas_nms_keep_auto
 
     del nms, class_specific_filter  # (True, True) case
     b, n, c = classification.shape
@@ -384,7 +384,7 @@ def _batched_filter_detections_pallas(
             flat_boxes = jnp.pad(flat_boxes, ((0, 0), (0, k_pad - k), (0, 0)))
             flat_valid = jnp.pad(flat_valid, ((0, 0), (0, k_pad - k)))
 
-        keep = pallas_nms_keep(
+        keep = pallas_nms_keep_auto(
             flat_boxes, flat_valid, iou_threshold=nms_threshold,
             interpret=pallas_interpret,
         )[:, :k].reshape(b, c, k)
@@ -556,7 +556,7 @@ def batched_detections_deferred(
         rescored = rescored.reshape(b, c, k)
         kept_scores = jnp.where(rescored > score_threshold, rescored, -jnp.inf)
     elif use_pallas:
-        from tdnet.ops.pallas_nms import TILE, pallas_nms_keep
+        from tdnet.ops.pallas_nms import TILE, pallas_nms_keep_auto
 
         k_pad = k + ((-k) % TILE)
         fb = cand_boxes.reshape(b * c, k, 4)
@@ -564,7 +564,7 @@ def batched_detections_deferred(
         if k_pad != k:
             fb = jnp.pad(fb, ((0, 0), (0, k_pad - k), (0, 0)))
             fv = jnp.pad(fv, ((0, 0), (0, k_pad - k)))
-        keep = pallas_nms_keep(
+        keep = pallas_nms_keep_auto(
             fb, fv, iou_threshold=nms_threshold, interpret=pallas_interpret,
         )[:, :k].reshape(b, c, k)
         kept_scores = jnp.where(keep, cand_scores, -jnp.inf)
@@ -671,14 +671,14 @@ def batched_detections_deferred_shared(
 
     valid = cand_scores > score_threshold  # (B, K)
     if use_pallas:
-        from tdnet.ops.pallas_nms import TILE, pallas_nms_keep
+        from tdnet.ops.pallas_nms import TILE, pallas_nms_keep_auto
 
         k_pad = k + ((-k) % TILE)
         fb, fv = cand_boxes, valid
         if k_pad != k:
             fb = jnp.pad(fb, ((0, 0), (0, k_pad - k), (0, 0)))
             fv = jnp.pad(fv, ((0, 0), (0, k_pad - k)))
-        keep = pallas_nms_keep(
+        keep = pallas_nms_keep_auto(
             fb, fv, iou_threshold=nms_threshold, interpret=pallas_interpret,
         )[:, :k]
     else:

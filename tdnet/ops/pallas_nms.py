@@ -36,7 +36,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_nms_keep", "pallas_nms_keep_rows", "nms_keep_sorted"]
+__all__ = [
+    "pallas_nms_keep",
+    "pallas_nms_keep_rows",
+    "pallas_nms_keep_auto",
+    "nms_keep_sorted",
+]
+
+# Measured-best kernel formulation for product call sites (ops/nms.py)
+# — see tools/perf_nms_rows.py; TDNET_NMS_KERNEL=tiled|rows overrides at
+# trace time. Both are exact-equivalent by contract (tested).
+DEFAULT_KERNEL = "tiled"
+
+
+def pallas_nms_keep_auto(boxes, valid, iou_threshold=0.5, interpret=False):
+    """Dispatch to the configured NMS kernel formulation (same contract as
+    :func:`pallas_nms_keep`)."""
+    import os
+
+    impl = os.environ.get("TDNET_NMS_KERNEL", DEFAULT_KERNEL)
+    fn = pallas_nms_keep_rows if impl == "rows" else pallas_nms_keep
+    return fn(boxes, valid, iou_threshold=iou_threshold, interpret=interpret)
 
 TILE = 128
 
