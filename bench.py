@@ -114,13 +114,17 @@ def main() -> int:
     rng_np = np.random.RandomState(0)
     if fused_stem:
         # packed (B, H, W*3) byte rows for the fused ingest+stem kernel
+        # (ops/pallas_ingest.pack_uint8_host is THE boundary convention)
+        from tdnet.ops.pallas_ingest import pack_uint8_host
+
         x = rng_np.randint(0, 256, (batch,) + bucket + (3,), dtype=np.uint8)
-        images = jax.device_put(
-            jnp.asarray(x.reshape(batch, bucket[0], bucket[1] * 3)))
+        images = jax.device_put(jnp.asarray(pack_uint8_host(x)))
     elif fused:
         # config-2 ingestion: uint8 page canvases, normalize fused in-graph
+        from tdnet.ops.pallas_ingest import pack_uint8_host
+
         x = rng_np.randint(0, 256, (batch,) + bucket + (3,), dtype=np.uint8)
-        images = jax.device_put(jnp.asarray(x.reshape(-1, 3072)))
+        images = jax.device_put(jnp.asarray(pack_uint8_host(x, flat=True)))
     else:
         in_dtype = (
             jnp.bfloat16

@@ -297,8 +297,20 @@ class BatchLoader:
         every global step, regardless of how unevenly buckets or dataset
         sizes divide. Each rank then takes its strided slice of every
         global batch (see local_batches). The final partial chunk of each
-        bucket is repeat-padded to the full global batch (duplicates are
-        detectable downstream via `indices` uniqueness, as before)."""
+        bucket is repeat-padded to the full global batch. NOTE: padding is
+        global — a pad duplicate can land on a DIFFERENT rank than its
+        original (e.g. 3 images / 2 ranks / gbs 4: global [0,1,2,0] ->
+        rank0 [0,2], rank1 [1,0]), so per-rank `indices` uniqueness must
+        NOT be used to detect padding (no in-repo consumer does; training
+        on repeat-padded tails is reference-parity behavior). Duplicates
+        are detectable only in the reassembled GLOBAL index list.
+
+        Cost note: global bucket agreement needs every rank to bucket the
+        whole dataset once (dataset.image_aspect_ratio per index, memoized
+        in _bucket_of for the process lifetime) — an O(N) image-header
+        scan per host on first use, same as the reference's
+        group_method='ratio'. A shared sidecar of precomputed dims is the
+        escape hatch for very large multi-host datasets."""
         order = np.arange(self.dataset.size())
         if self.config.shuffle:
             self._rng.shuffle(order)

@@ -27,12 +27,9 @@ _SENTINEL = object()
 
 
 def _pack_uint8_images(batch):
-    """Pack NHWC uint8 canvases to (B, H, W*3) byte rows — a free host-side
-    view — before crossing the jit boundary. A (B, H, W, 3) uint8 jit
-    argument gets the TPU's padded T(8,128) layout (C: 3 -> 128 lanes, a
-    42x physical blowup; +86 ms/step measured at batch 32), so ALL uint8
-    shipping in tdnet uses flat/packed byte matrices (ops/pallas_ingest.py,
-    train/step.py, train/predictor.py)."""
+    """Pack NHWC uint8 canvases to (B, H, W*3) byte rows before crossing
+    the jit boundary (the uint8 boundary convention —
+    ops/pallas_ingest.pack_uint8_host has the layout-trap numbers)."""
     import numpy as np
 
     if (
@@ -42,9 +39,10 @@ def _pack_uint8_images(batch):
         and batch["images"].ndim == 4
         and batch["images"].shape[-1] == 3
     ):
-        b, h, w, _ = batch["images"].shape
+        from tdnet.ops.pallas_ingest import pack_uint8_host
+
         batch = dict(batch)
-        batch["images"] = batch["images"].reshape(b, h, w * 3)
+        batch["images"] = pack_uint8_host(batch["images"])
     return batch
 
 

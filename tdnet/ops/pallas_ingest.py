@@ -43,6 +43,7 @@ __all__ = [
     "normalize_uint8_flat",
     "normalize_uint8_rows",
     "supports_shape",
+    "pack_uint8_host",
 ]
 
 _ROW = 3072  # 1024 pixels x 3 channels; 24 lane-tiles of 128
@@ -54,6 +55,35 @@ def supports_shape(shape) -> bool:
         return False
     total = int(np.prod(shape))
     return total % _ROW == 0 and total >= _ROW
+
+
+def pack_uint8_host(images, flat: bool = False):
+    """THE uint8 jit-boundary convention, in one place.
+
+    A (B, H, W, 3) uint8 jit ARGUMENT gets the TPU's padded T(8,128)
+    layout — C padded 3 -> 128 lanes, a 42x physical blowup (+86 ms/step
+    measured at batch 32) — so every tdnet uint8 boundary ships a 2-D/3-D
+    byte view instead (free host-side reshape):
+
+    - flat=False: (B, H, W*3) packed rows — what normalize_uint8_rows and
+      the fused ingest+stem kernel (ops/pallas_stem.py) consume;
+    - flat=True: (R, 3072) flat rows — what normalize_uint8_flat consumes;
+      requires the total size to divide 3072, else the input is returned
+      UNCHANGED (4-D routing is shape-dispatched downstream — a silent
+      repack would misroute it).
+
+    Callers: data/prefetch.py (train batches), train/predictor.py, bench.py.
+    Non-uint8 or non-NHWC input passes through unchanged.
+    """
+    if getattr(images, "dtype", None) != np.uint8 or images.ndim != 4 \
+            or images.shape[-1] != 3:
+        return images
+    b, h, w, _ = images.shape
+    if flat:
+        if (b * h * w * 3) % _ROW == 0:
+            return images.reshape(-1, _ROW)
+        return images
+    return images.reshape(b, h, w * 3)
 
 
 def _kernel(x_ref, mean_ref, o_ref, *, scale: float):

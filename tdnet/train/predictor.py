@@ -232,12 +232,16 @@ class Predictor:
                 from tdnet.ops.pallas_stem import supports_shape
 
                 if supports_shape(stack.shape):
+                    from tdnet.ops.pallas_ingest import pack_uint8_host
+
                     # packed rows for the fused ingest+stem kernel
-                    stack = stack.reshape(stack.shape[0], stack.shape[1], -1)
-            if stack.dtype == np.uint8 and stack.ndim == 4 and (
-                    stack.size % 3072) == 0:
-                # free host-side view; see _pipeline on the layout trap
-                stack = stack.reshape(-1, 3072)
+                    stack = pack_uint8_host(stack)
+            if stack.dtype == np.uint8 and stack.ndim == 4:
+                from tdnet.ops.pallas_ingest import pack_uint8_host
+
+                # flat rows for the normalize kernel (falls back to packed
+                # rows on odd buckets); see pack_uint8_host for the trap
+                stack = pack_uint8_host(stack, flat=True)
             try:
                 det = self._pipeline(bucket)(self.variables, jnp.asarray(stack))
             except Exception as exc:

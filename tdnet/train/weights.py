@@ -220,7 +220,24 @@ def bn_warmup(
             batch = next(it)
         except StopIteration:
             break
-        images = batch["images"] if isinstance(batch, dict) else batch
+        images = np.asarray(batch["images"] if isinstance(batch, dict)
+                            else batch)
+        if images.dtype == np.uint8:
+            # Normalize on the HOST: a (B, H, W, 3) uint8 jit argument gets
+            # the TPU's padded T(8,128) layout (42x physical blowup — see
+            # data/prefetch.py), and warm-up is an offline few-batch pass
+            # where host normalize costs nothing. Also accepts the
+            # prefetcher's packed (B, H, W*3) rows.
+            if images.ndim == 3:
+                b_, h_, w3_ = images.shape
+                images = images.reshape(b_, h_, w3_ // 3, 3)
+            x = images.astype(np.float32)
+            if preprocess_mode == "caffe":
+                from tdnet.data.image import CAFFE_MEAN_BGR
+
+                images = x - np.asarray(CAFFE_MEAN_BGR, np.float32)
+            else:
+                images = (x - 127.5) / 127.5
         moments = jax.device_get(forward(variables, jnp.asarray(images)))
         if sums is None:
             sums = jax.tree_util.tree_map(np.asarray, moments)

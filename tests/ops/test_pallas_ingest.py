@@ -95,3 +95,22 @@ def test_rows_rejects_non_multiple_of_3():
     with pytest.raises(ValueError):
         normalize_uint8_rows(
             jnp.zeros((4, 128), jnp.uint8), "caffe", interpret=True)
+
+
+def test_pack_uint8_host_conventions():
+    from tdnet.ops.pallas_ingest import pack_uint8_host
+
+    x = np.arange(2 * 8 * 64 * 3, dtype=np.uint8).reshape(2, 8, 64, 3)
+    packed = pack_uint8_host(x)
+    assert packed.shape == (2, 8, 192)
+    assert np.array_equal(packed.reshape(2, 8, 64, 3), x)
+
+    # flat only when total divides 3072; else UNCHANGED (not repacked)
+    y = np.zeros((1, 4, 256, 3), np.uint8)  # 3072 bytes total
+    assert pack_uint8_host(y, flat=True).shape == (1, 3072)
+    z = np.zeros((1, 5, 7, 3), np.uint8)
+    assert pack_uint8_host(z, flat=True) is z
+
+    # non-uint8 / non-NHWC pass through
+    f = np.zeros((2, 8, 64, 3), np.float32)
+    assert pack_uint8_host(f) is f

@@ -83,6 +83,16 @@ def _write_dataset(work):
         f.write("table,0\n")
 
 
+def _free_port() -> str:
+    """OS-assigned ephemeral port (bind 0, read back, release) — avoids
+    cross-run collisions from a hardcoded coordinator port."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_full_epoch_uneven_dataset(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -95,7 +105,7 @@ def test_two_process_full_epoch_uneven_dataset(tmp_path):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
 
-    port = "9951"
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(rank), port, work],

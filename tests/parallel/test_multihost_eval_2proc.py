@@ -110,6 +110,16 @@ print(f"OK {rank}", flush=True)
 """
 
 
+def _free_port() -> str:
+    """OS-assigned ephemeral port (bind 0, read back, release) — avoids
+    cross-run collisions from a hardcoded coordinator port."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_sharded_eval(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -120,7 +130,7 @@ def test_two_process_sharded_eval(tmp_path):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
 
-    port = "9941"
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(rank), port],

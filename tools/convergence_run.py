@@ -45,6 +45,10 @@ def main() -> int:
     make_dataset(data, args.pages, np.random.RandomState(0))
     os.makedirs(args.out, exist_ok=True)
     metrics = os.path.join(args.out, "metrics.jsonl")
+    # MetricsWriter appends — truncate so a rerun doesn't mix two runs
+    # into the committed artifact (and corrupt the first_loss summary)
+    if os.path.exists(metrics):
+        os.unlink(metrics)
 
     from tdnet.bin import evaluate, train
 

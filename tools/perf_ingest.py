@@ -27,17 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, iters=10, inner=4):
-    out = fn(*args)
-    jax.device_get(jnp.sum(out.astype(jnp.float32)))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        for _ in range(inner):
-            out = fn(*args)
-        jax.device_get(jnp.sum(out.astype(jnp.float32)))
-        ts.append((time.perf_counter() - t0) / inner)
-    return float(np.median(ts)) * 1000
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timed  # shared device_get-barrier methodology
 
 
 def main():
