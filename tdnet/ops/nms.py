@@ -49,7 +49,15 @@ def default_use_pallas() -> bool:
     """Product-surface default for the NMS implementation: the tiled Pallas
     kernel on TPU (the flagship device-side NMS, BASELINE.json north star),
     the jnp fixpoint elsewhere (CPU/GPU have no Pallas TPU lowering).
-    Results are bit-identical by contract (tested)."""
+    Results are bit-identical by contract (tested).
+
+    Mesh caveat: pallas_call is opaque to the GSPMD partitioner, so a
+    caller jitting the tail over a multi-device mesh with a batch-sharded
+    input should pass use_pallas=False (the jnp fixpoint shards like any
+    other op) or keep the tail outside the pjit — the product sharded-eval
+    path (bin/evaluate --distributed) runs process-local single-device
+    predictors and keeps the kernel; __graft_entry__'s sharded-inference
+    dryrun passes use_pallas=False."""
     return jax.default_backend() == "tpu"
 
 
