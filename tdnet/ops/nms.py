@@ -494,14 +494,16 @@ def batched_detections_deferred(
 
     Exactness caveat: candidate ORDER differs from the legacy path only
     where two DISTINCT logits collapse to the same f32 sigmoid score.
-    For |logit| < ~16.6 f32 sigmoid is injective on the bf16 logit grid
-    (adjacent values ~0.004 apart vs score spacing >= ~4.5e-5 * 0.004),
-    so ordering — and hence the full output — is bit-identical. For
-    logits >= ~16.6 (scores within 1 ulp of 1.0f) the legacy path breaks
-    the score tie by anchor index while this path ranks by raw logit (a
-    strictly finer confidence order); the kept set can then differ in
-    tie order only, among detections whose scores are all 1.0f-epsilon.
-    tests/ops/test_deferred_tail.py covers the injective regime.
+    On the bf16 logit grid (spacing 0.0625 at |x|~8-16) collisions start
+    near logit ~14, where sigmoid' * spacing = e^-14 * 0.0625 drops below
+    the f32 ulp at 1.0 (~6e-8); e.g. sigmoid32(16.0) == sigmoid32(16.5),
+    and everything >= ~16.6 is exactly 1.0f. Below that regime ordering —
+    and hence the full output — is bit-identical. In it, the legacy path
+    breaks the score tie by anchor index while this path ranks by raw
+    logit (a strictly finer confidence order); the kept set can then
+    differ in tie order only, among detections whose scores all sit
+    within ~1e-6 of 1.0. tests/ops/test_deferred_tail.py covers the
+    injective regime.
 
     Measured (v5e, batch 128, 800x1344, C=1): legacy tail 58.3 ms (Pallas
     NMS) / 54.1 (jnp) -> deferred [see PERF.md round-3 tail table].
