@@ -93,6 +93,15 @@ def parse_args(argv=None):
                         help="bfloat16 compute (recommended on TPU)")
     parser.add_argument("--device-normalize", action="store_true",
                         help="ship uint8 batches; normalization fuses into the graph")
+    parser.add_argument("--no-fused-stem", dest="fused_stem",
+                        action="store_false", default=None,
+                        help="disable the fused ingest+stem training kernel "
+                             "(default: on for single-device TPU ResNet runs "
+                             "with --device-normalize)")
+    parser.add_argument("--fused-stem", dest="fused_stem",
+                        action="store_true", default=None,
+                        help="force the fused-stem training kernel on "
+                             "(interpret-mode Pallas off-TPU: correct, slow)")
     parser.add_argument("--log-every", default=50, type=int)
     parser.add_argument("--metrics-path", default=None, type=str)
     parser.add_argument("--tensorboard-dir", default=None, type=str,
@@ -241,7 +250,7 @@ def main(argv=None) -> int:
 
     train_step = make_train_step(
         model, train_ds.num_classes(), anchor_params=anchor_params,
-        preprocess_mode=bb.preprocess_mode,
+        preprocess_mode=bb.preprocess_mode, fused_stem=args.fused_stem,
     )
 
     evaluate_fn = None

@@ -1,0 +1,127 @@
+"""Training-path fused ingest+stem: Pallas forward, custom-VJP backward.
+
+Inference already runs the fused ingest+stem Pallas kernel
+(ops/pallas_stem.py): raw uint8 rows stream through VMEM and only the
+pooled (B, H/4, W/4, 64) stem activations reach HBM. This module extends
+the same kernel to TRAINING via `jax.custom_vjp`:
+
+- forward: `fused_stem_packed` (one kernel: normalize + 7x7/2 conv +
+  frozen-BN + ReLU + 3x3/2 SAME maxpool), uint8 in — the (B, H, W, 3)
+  float canvas and the (B, H/2, W/2, 64) conv output never touch HBM on
+  the forward path;
+- backward: rematerialized XLA reference. The packed bytes are re-normalized
+  (Pallas rows kernel, ~2 ms — XLA's own uint8 lowering is the measured
+  catastrophe, see ops/pallas_ingest.py) and the stem's gradient is the
+  `jax.vjp` of the exact op sequence the non-fused train path runs
+  (StemConv -> FrozenBatchNorm -> relu -> max_pool; models/resnet.py:
+  184-192). Gradient ROUTING (e.g. maxpool argmax ties) is therefore
+  bit-identical to non-fused training; only the forward VALUES differ by
+  the kernel's float tolerance (MXU contraction order).
+
+Memory/traffic trade (why remat): the non-fused path must keep the conv
+output alive from forward to backward for the relu/pool routing —
+(B, H/2, W/2, 64) is 1.1 GB in bf16 at batch 32, ~9 ms of HBM write+read
+at the measured ~250 GB/s. Rematerializing replaces that traffic with one
+extra conv forward in the backward pass. The conv input has no gradient
+(it is the image), so XLA's backward emits only the filter gradient.
+
+The image is a uint8 leaf: its cotangent is `float0` (integer primals are
+non-differentiable), so gradients flow only to the stem conv kernel and —
+when BN is not frozen — the folded BN multiplier/offset.
+
+Reference: the upstream stem is keras-resnet's trained conv1/bn1
+(SURVEY.md §2.2 backbone row); this module changes how its gradient is
+computed, not what it is.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tdnet.ops.pallas_ingest import normalize_uint8_rows
+from tdnet.ops.pallas_stem import fused_stem_packed, supports_shape
+
+__all__ = ["fused_stem_train", "stem_reference_packed"]
+
+
+def stem_reference_packed(packed, kernel7, inv, off, normalize, out_dtype):
+    """The XLA op sequence the fused kernel replaces, from packed uint8 rows:
+    normalize -> pad-3 7x7/2 valid conv -> y*inv+off -> relu -> 3x3/2 SAME
+    maxpool. Mirrors the non-fused train path's ops (and therefore its
+    gradient routing): conv and pool run in the model compute dtype with
+    f32 params cast in, like StemConv/FrozenBatchNorm (models/resnet.py,
+    models/layers.py)."""
+    b, h, w3 = packed.shape
+    w = w3 // 3
+    compute = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+    x = normalize_uint8_rows(
+        packed.reshape(b * h, w3), mode=normalize, out_dtype=compute
+    ).reshape(b, h, w, 3)
+    z = jax.lax.conv_general_dilated(
+        x,
+        kernel7.astype(compute),
+        window_strides=(2, 2),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    a = nn.relu(z * inv.astype(compute) + off.astype(compute))
+    return nn.max_pool(a, (3, 3), strides=(2, 2), padding="SAME").astype(
+        out_dtype
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _stem_train(normalize, out_dtype, packed, kernel7, inv, off):
+    return fused_stem_packed(
+        packed, kernel7, inv, off, normalize=normalize, out_dtype=out_dtype
+    )
+
+
+def _stem_train_fwd(normalize, out_dtype, packed, kernel7, inv, off):
+    y = fused_stem_packed(
+        packed, kernel7, inv, off, normalize=normalize, out_dtype=out_dtype
+    )
+    return y, (packed, kernel7, inv, off)
+
+
+def _stem_train_bwd(normalize, out_dtype, residuals, dy):
+    packed, kernel7, inv, off = residuals
+    _, vjp = jax.vjp(
+        lambda k, i, o: stem_reference_packed(
+            packed, k, i, o, normalize, out_dtype
+        ),
+        kernel7,
+        inv,
+        off,
+    )
+    dk, dinv, doff = vjp(dy)
+    # uint8 image leaf: integer primals take a float0 cotangent
+    dpacked = np.zeros(packed.shape, dtype=jax.dtypes.float0)
+    return dpacked, dk, dinv, doff
+
+
+_stem_train.defvjp(_stem_train_fwd, _stem_train_bwd)
+
+
+def fused_stem_train(packed, kernel7, inv, off, normalize="caffe",
+                     out_dtype=jnp.bfloat16):
+    """Differentiable fused ingest+stem on packed (B, H, W*3) uint8 rows.
+
+    Forward is the Pallas kernel (ops/pallas_stem.fused_stem_packed);
+    backward rematerializes the XLA reference and returns gradients for
+    (kernel7, inv, off) — see the module docstring. `inv`/`off` are the
+    folded frozen-BN multiplier/offset (models/resnet.py
+    stem_params_from_variables); fold them from `stop_gradient`ed
+    scale/bias to mirror FrozenBatchNorm's frozen=True semantics.
+    """
+    b, h, w3 = packed.shape
+    if packed.dtype != jnp.uint8:
+        raise TypeError(f"fused_stem_train expects uint8 rows, got {packed.dtype}")
+    if w3 % 3 or not supports_shape((b, h, w3 // 3, 3)):
+        raise ValueError(f"unsupported packed stem shape {packed.shape}")
+    return _stem_train(normalize, jnp.dtype(out_dtype), packed, kernel7, inv, off)

@@ -133,13 +133,20 @@ def make_train_step(
     focal_gamma: float = 2.0,
     smooth_l1_sigma: float = 3.0,
     preprocess_mode: str = "caffe",
+    fused_stem: Optional[bool] = None,
 ) -> Callable:
     """Build the jittable train step. Anchors are trace-time constants of the
     batch's (bucketed) image shape, so one compilation per bucket.
 
     uint8 batches (LoaderConfig.device_normalize) are normalized in-graph —
     on TPU via the Pallas ingestion kernel (ops/pallas_ingest.py), written
-    directly in the model's compute dtype."""
+    directly in the model's compute dtype.
+
+    `fused_stem` (None -> auto: TPU, single device, ResNet backbone,
+    caffe/tf mode) runs packed-uint8 batches through the differentiable
+    fused ingest+stem Pallas kernel (ops/stem_vjp.fused_stem_train):
+    forward fuses normalize+conv+BN+relu+maxpool in one kernel, backward
+    rematerializes the XLA reference — same gradients, less HBM traffic."""
     focal_fn = focal(alpha=focal_alpha, gamma=focal_gamma, from_logits=True)
     l1_fn = smooth_l1(sigma=smooth_l1_sigma)
 
@@ -149,9 +156,43 @@ def make_train_step(
     # sharded run takes a plain-jnp normalize (same math; XLA shards it
     # like any other elementwise op).
     single_device = jax.device_count() == 1
+    if fused_stem is None:
+        fused_stem = (
+            single_device
+            and jax.default_backend() == "tpu"
+            and getattr(model, "backbone_name", "").lstrip("se").startswith("resnet")
+            and preprocess_mode in ("caffe", "tf")
+            and not getattr(model, "stem_input", False)
+        )
+    stem_model = model.clone(stem_input=True) if fused_stem else None
 
     def loss_fn(params, batch_stats, batch):
         images = batch["images"]
+        if images.dtype == jnp.uint8 and images.ndim == 3 and fused_stem:
+            # packed (B, H, W*3) rows -> differentiable fused ingest+stem
+            # kernel -> model from the pooled activations (stem_input form;
+            # conv1/bn1 grads flow through the custom VJP)
+            from tdnet.models.resnet import stem_params_from_variables
+            from tdnet.ops.stem_vjp import fused_stem_train
+
+            b, h, w3 = images.shape
+            k7, inv, off = stem_params_from_variables(
+                {"params": params, "batch_stats": batch_stats}
+            )
+            if getattr(model, "freeze_bn", True):
+                # FrozenBatchNorm(frozen=True) stop-gradients scale/bias;
+                # stopping the folded inv/off is equivalent (mean/var are
+                # non-differentiated batch stats)
+                inv = jax.lax.stop_gradient(inv)
+                off = jax.lax.stop_gradient(off)
+            act = fused_stem_train(
+                images, k7, inv, off, normalize=preprocess_mode,
+                out_dtype=getattr(model, "dtype", None) or jnp.float32,
+            )
+            outputs = stem_model.apply(
+                {"params": params, "batch_stats": batch_stats}, act
+            )
+            return _targets_and_losses(outputs, (h, w3 // 3), batch)
         if images.dtype == jnp.uint8 and images.ndim == 3:
             # packed (B, H, W*3) byte rows (data/prefetch.py packs them —
             # the NHWC uint8 jit-argument layout trap costs 42x physical
@@ -189,12 +230,15 @@ def make_train_step(
                     images = (x - jnp.asarray(CAFFE_MEAN_BGR)).astype(out_dtype)
                 else:
                     images = ((x - 127.5) * (1.0 / 127.5)).astype(out_dtype)
-        anchors = jnp.asarray(
-            anchors_for_shape(images.shape[1:3], anchor_params=anchor_params),
-            jnp.float32,
-        )
         outputs = model.apply(
             {"params": params, "batch_stats": batch_stats}, images
+        )
+        return _targets_and_losses(outputs, images.shape[1:3], batch)
+
+    def _targets_and_losses(outputs, image_hw, batch):
+        anchors = jnp.asarray(
+            anchors_for_shape(image_hw, anchor_params=anchor_params),
+            jnp.float32,
         )
         labels, regression = batched_anchor_targets(
             anchors,

@@ -1,0 +1,150 @@
+"""Training-path fused stem (ops/stem_vjp.py): custom-VJP gradients match
+the pure-XLA stem composition, and the wired train step (fused_stem=True)
+reproduces the non-fused step's loss and updates. Interpret-mode Pallas on
+CPU; f32 throughout for tight tolerances."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from tdnet.data.image import CAFFE_MEAN_BGR
+from tdnet.ops.stem_vjp import fused_stem_train, stem_reference_packed
+
+
+def _params(f=16, seed=0):
+    r = np.random.RandomState(seed)
+    kernel7 = jnp.asarray(r.normal(0, 0.1, (7, 7, 3, f)).astype(np.float32))
+    inv = jnp.asarray(r.uniform(0.5, 1.5, f).astype(np.float32))
+    off = jnp.asarray(r.normal(0, 0.1, f).astype(np.float32))
+    return kernel7, inv, off
+
+
+def _packed(b=2, h=32, w=64, seed=1):
+    raw = np.random.RandomState(seed).randint(0, 256, (b, h, w, 3), np.uint8)
+    return jnp.asarray(raw.reshape(b, h, w * 3)), raw
+
+
+def _pure_xla(packed, k7, inv, off, mode="caffe"):
+    """Plain-XLA stem from packed bytes with NO Pallas anywhere — the
+    gradient oracle (the op sequence non-fused training runs)."""
+    b, h, w3 = packed.shape
+    x = packed.reshape(b, h, w3 // 3, 3).astype(jnp.float32)
+    if mode == "caffe":
+        x = x - jnp.asarray(CAFFE_MEAN_BGR)
+    else:
+        x = x / 127.5 - 1.0
+    z = jax.lax.conv_general_dilated(
+        x, k7, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    a = nn.relu(z * inv + off)
+    return nn.max_pool(a, (3, 3), strides=(2, 2), padding="SAME")
+
+
+@pytest.mark.parametrize("mode", ["caffe", "tf"])
+def test_forward_matches_oracle(mode):
+    k7, inv, off = _params()
+    packed, _ = _packed()
+    got = fused_stem_train(packed, k7, inv, off, normalize=mode,
+                           out_dtype=jnp.float32)
+    want = _pure_xla(packed, k7, inv, off, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-3)
+
+
+def test_gradients_match_pure_xla():
+    k7, inv, off = _params(seed=2)
+    packed, _ = _packed(seed=3)
+    cot = jnp.asarray(
+        np.random.RandomState(4).normal(0, 1, (2, 8, 16, 16)).astype(np.float32)
+    )
+
+    def loss_fused(k, i, o):
+        y = fused_stem_train(packed, k, i, o, normalize="caffe",
+                             out_dtype=jnp.float32)
+        return jnp.sum(y * cot)
+
+    def loss_ref(k, i, o):
+        return jnp.sum(_pure_xla(packed, k, i, o) * cot)
+
+    gk, gi, go = jax.grad(loss_fused, argnums=(0, 1, 2))(k7, inv, off)
+    rk, ri, ro = jax.grad(loss_ref, argnums=(0, 1, 2))(k7, inv, off)
+    # cotangent is constant (linear head), so the rematerialized backward
+    # sees identical values -> gradients agree to float tolerance
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ri),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(ro),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_reference_packed_matches_pure_xla():
+    # the backward's rematerialized reference == the plain composition
+    k7, inv, off = _params(seed=5)
+    packed, _ = _packed(seed=6)
+    got = stem_reference_packed(packed, k7, inv, off, "caffe", jnp.float32)
+    want = _pure_xla(packed, k7, inv, off)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_works_under_jit_and_rejects_bad_input():
+    k7, inv, off = _params(seed=7)
+    packed, _ = _packed(seed=8)
+
+    @jax.jit
+    def f(p, k, i, o):
+        return jnp.sum(fused_stem_train(p, k, i, o, normalize="caffe",
+                                        out_dtype=jnp.float32))
+
+    assert np.isfinite(float(f(packed, k7, inv, off)))
+    with pytest.raises(TypeError, match="uint8"):
+        fused_stem_train(packed.astype(jnp.float32), k7, inv, off)
+    with pytest.raises(ValueError, match="unsupported"):
+        fused_stem_train(jnp.zeros((1, 30, 31 * 3), jnp.uint8), k7, inv, off)
+
+
+def test_train_step_fused_matches_unfused():
+    """make_train_step(fused_stem=True) on packed uint8 == the non-fused
+    step (normalize + full model) — same loss, same updated params."""
+    import optax
+
+    from tdnet.models.retinanet import RetinaNet
+    from tdnet.train.step import create_train_state, make_train_step
+
+    b, h, w = 2, 64, 96
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    # SGD: the param delta is lr*g, so float-tolerance gradient noise stays
+    # float-tolerance in the params (first-step Adam is sign(g)-like and
+    # would amplify near-zero-gradient noise to full lr)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, h, w, 3), tx=optax.sgd(1e-2),
+    )
+    raw = np.random.RandomState(1).randint(0, 256, (b, h, w, 3), np.uint8)
+    base = {
+        "gt_boxes": np.tile(np.array([[10.0, 10.0, 50.0, 40.0]], np.float32),
+                            (b, 4, 1)),
+        "gt_labels": np.zeros((b, 4), np.int32),
+        "gt_mask": np.tile(np.array([True, False, False, False]), (b, 1)),
+        "image_hw": np.tile(np.array([h, w], np.float32), (b, 1)),
+    }
+    batch_packed = dict(base, images=raw.reshape(b, h, w * 3))
+
+    step_fused = make_train_step(model, num_classes=1, fused_stem=True)
+    step_plain = make_train_step(model, num_classes=1, fused_stem=False)
+    new_fused, m_fused = step_fused(state, batch_packed)
+    new_plain, m_plain = step_plain(state, batch_packed)
+
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_plain["loss"]),
+                               rtol=1e-4)
+    assert int(m_fused["num_positive"]) == int(m_plain["num_positive"]) > 0
+    flat_f = jax.tree_util.tree_leaves_with_path(new_fused.params)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(new_plain.params))
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_p[path]), rtol=5e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
