@@ -67,7 +67,8 @@ except ImportError:  # pragma: no cover
 
 from tdnet.data.image import CAFFE_MEAN_BGR
 
-__all__ = ["fused_stem", "fused_stem_packed", "supports_shape"]
+__all__ = ["fused_stem", "fused_stem_packed", "fused_stem_bwd_packed",
+           "supports_shape"]
 
 _SHIFTS = (-2, -1, 0, 1)
 
@@ -112,55 +113,99 @@ def _down_matrix(w2: int) -> np.ndarray:
     return d
 
 
+def _plane_means(normalize):
+    if normalize == "caffe":
+        # plane r holds channel r % 3 (BGR)
+        return [float(CAFFE_MEAN_BGR[r % 3]) for r in range(6)], 1.0
+    if normalize == "tf":
+        return [127.5] * 6, 1.0 / 127.5
+    return [0.0] * 6, 1.0
+
+
+def _window_s_matrix(x_ref, m0, h, rows_in, normalize, compute_dtype):
+    """The block's S matrix (24*rows_in, w2): normalized, pad-masked window
+    planes, lane-shifted by d in _SHIFTS (see module docstring). Shared by
+    the forward and backward kernels — both need the identical S."""
+    plane_mean, scale = _plane_means(normalize)
+    planes = []
+    for r in range(6):
+        p = x_ref[r, 0, pl.ds(4 * m0, rows_in), :]  # (rows_in, w2)
+        if normalize is not None:
+            pf = (p.astype(jnp.int32).astype(jnp.float32)
+                  - plane_mean[r]) * scale
+            orig = 4 * m0 - 3 + jax.lax.broadcasted_iota(
+                jnp.int32, (rows_in, 1), 0
+            )
+            pf = jnp.where((orig >= 0) & (orig < h), pf, 0.0)
+        else:
+            pf = p.astype(jnp.float32)  # float path: pads already zero
+        planes.append(pf.astype(compute_dtype))
+
+    pieces = []
+    for d in _SHIFTS:
+        for r in range(6):
+            v = planes[r]
+            if d == 0:
+                pieces.append(v)
+            elif d > 0:
+                pieces.append(jnp.concatenate(
+                    [v[:, d:], jnp.zeros((rows_in, d), v.dtype)], axis=1))
+            else:
+                pieces.append(jnp.concatenate(
+                    [jnp.zeros((rows_in, -d), v.dtype), v[:, :d]], axis=1))
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _resolve_tm(h: int, tm: int) -> int:
+    """Largest divisor of H/4 at most the requested tm."""
+    hp4 = h // 4
+    tm = min(tm, hp4)
+    while hp4 % tm:
+        tm -= 1
+    return tm
+
+
+def _prep_operands(packed, kernel7, tm, compute_dtype):
+    """XLA prep shared by the forward and backward kernels: the six
+    interleaved byte planes xv (6, B, H+8, w2), the banded conv-as-matmul
+    weight G (n_conv*f, 24*rows_in), and the stride-2 lane-downsample
+    selection matrix dmat (w2, w2//2)."""
+    b, h, w3 = packed.shape
+    w = w3 // 3
+    w2 = w // 2
+    rows_in = 4 * tm + 7
+    n_conv = 2 * tm + 1
+    f = kernel7.shape[-1]
+
+    # row-pad, split into six interleaved byte planes
+    xp = jnp.pad(packed, ((0, 0), (3, 5), (0, 0)))
+    xv = xp.reshape(b, h + 8, w2, 6).transpose(3, 0, 1, 2)  # (6, B, H+8, w2)
+
+    # G: conv row 0's band, rolled 2 columns per subsequent conv row
+    w147 = kernel7.astype(jnp.float32).reshape(147, f)
+    sel = jnp.asarray(_sel_matrix(rows_in))  # (147, 24*rows_in)
+    g0 = jax.lax.dot_general(  # (f, 24*rows_in)
+        w147, sel, (((0,), (0,)), ((), ())))
+    g = jnp.concatenate(
+        [jnp.roll(g0, 2 * ci, axis=1) for ci in range(n_conv)], axis=0
+    ).astype(compute_dtype)  # (n_conv*f, 24*rows_in)
+
+    dmat = jnp.asarray(_down_matrix(w2), compute_dtype)  # (w2, w4)
+    return xv, g, dmat
+
+
 def _make_kernel(h, w, tm, normalize, compute_dtype, f):
     w2 = w // 2
     w4 = w // 4
     rows_in = 4 * tm + 7
     n_conv = 2 * tm + 1
-    if normalize == "caffe":
-        # plane r holds channel r % 3 (BGR)
-        plane_mean = [float(CAFFE_MEAN_BGR[r % 3]) for r in range(6)]
-        scale = 1.0
-    elif normalize == "tf":
-        plane_mean = [127.5] * 6
-        scale = 1.0 / 127.5
-    else:
-        plane_mean = [0.0] * 6
-        scale = 1.0
 
     def kernel(x_ref, g_ref, inv_ref, off_ref, d_ref, o_ref):
         m0 = pl.program_id(1) * tm
         neg = jnp.float32(-3.4e38)
 
-        # ---- normalized, pad-masked window planes ------------------------
-        planes = []
-        for r in range(6):
-            p = x_ref[r, 0, pl.ds(4 * m0, rows_in), :]  # (rows_in, w2)
-            if normalize is not None:
-                pf = (p.astype(jnp.int32).astype(jnp.float32)
-                      - plane_mean[r]) * scale
-                orig = 4 * m0 - 3 + jax.lax.broadcasted_iota(
-                    jnp.int32, (rows_in, 1), 0
-                )
-                pf = jnp.where((orig >= 0) & (orig < h), pf, 0.0)
-            else:
-                pf = p.astype(jnp.float32)  # float path: pads already zero
-            planes.append(pf.astype(compute_dtype))
-
-        # ---- 24 lane-shifted planes -> S (24*rows_in, w2) ----------------
-        pieces = []
-        for d in _SHIFTS:
-            for r in range(6):
-                v = planes[r]
-                if d == 0:
-                    pieces.append(v)
-                elif d > 0:
-                    pieces.append(jnp.concatenate(
-                        [v[:, d:], jnp.zeros((rows_in, d), v.dtype)], axis=1))
-                else:
-                    pieces.append(jnp.concatenate(
-                        [jnp.zeros((rows_in, -d), v.dtype), v[:, :d]], axis=1))
-        s_mat = jnp.concatenate(pieces, axis=0)
+        s_mat = _window_s_matrix(x_ref, m0, h, rows_in, normalize,
+                                 compute_dtype)
 
         # ---- the whole block's conv as ONE banded matmul ------------------
         out_t = jax.lax.dot_general(
@@ -201,6 +246,214 @@ def _make_kernel(h, w, tm, normalize, compute_dtype, f):
             o_ref[0, m * f:(m + 1) * f, :] = pooled.astype(o_ref.dtype)
 
     return kernel
+
+
+def _make_bwd_kernel(h, w, tm, normalize, compute_dtype, f):
+    """Backward of the fused stem in ONE kernel per block: recompute S and
+    the banded conv, route the pooled gradient back through maxpool (XLA
+    select-and-scatter semantics: FIRST max in row-major window order) and
+    ReLU/BN, and accumulate dG = dZ @ S^T plus the BN reductions across all
+    grid steps. The filter gradient never goes through XLA's C=3
+    conv-backprop emitter (the same small-C lowering the forward kernel
+    exists to avoid), and the (B, H/2, W/2, 64) conv output is never
+    stored — it is rematerialized in VMEM."""
+    w2 = w // 2
+    rows_in = 4 * tm + 7
+    n_conv = 2 * tm + 1
+
+    def kernel(x_ref, g_ref, inv_ref, off_ref, d_ref, dy_ref,
+               dg_ref, dinv_ref, doff_ref):
+        bi = pl.program_id(0)
+        mi = pl.program_id(1)
+        m0 = mi * tm
+        neg = jnp.float32(-3.4e38)
+
+        s_mat = _window_s_matrix(x_ref, m0, h, rows_in, normalize,
+                                 compute_dtype)
+        out_t = jax.lax.dot_general(
+            g_ref[...], s_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n_conv*f, w2) f32 — the rematerialized conv rows
+
+        inv = inv_ref[...]  # (f, 1)
+        off = off_ref[...]
+        dmat = d_ref[...]   # (w2, w4)
+
+        # per conv row: pre-activation, relu output (pool input), masks;
+        # the out-of-image last row (global 2*m0 + 2*tm == h/2 in the last
+        # block) is neg so it can never win a pool window (a >= 0 > neg)
+        w_pre, a_rows = [], []
+        for ci in range(n_conv):
+            wp = out_t[ci * f:(ci + 1) * f] * inv + off
+            a = jnp.maximum(wp, 0.0)
+            if ci == n_conv - 1:
+                last_ok = (2 * m0 + 2 * tm) < (h // 2)
+                a = jnp.where(last_ok, a, jnp.full_like(a, neg))
+            w_pre.append(wp)
+            a_rows.append(a)
+
+        def shift_l(v, s, fill):
+            if s == 0:
+                return v
+            return jnp.concatenate(
+                [v[:, s:], jnp.full((f, s), fill, v.dtype)], axis=1)
+
+        def shift_r(v, s):
+            if s == 0:
+                return v
+            return jnp.concatenate(
+                [jnp.zeros((f, s), v.dtype), v[:, :-s]], axis=1)
+
+        da = [jnp.zeros((f, w2), jnp.float32) for _ in range(n_conv)]
+        for m in range(tm):
+            dym = dy_ref[0, m * f:(m + 1) * f, :].astype(jnp.float32)
+            # undo the stride-2 lane downsample: dy at even lanes, 0 at odd
+            dpre = jax.lax.dot_general(
+                dym, dmat.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            )  # (f, w2)
+            rows = (2 * m, 2 * m + 1, 2 * m + 2)
+            # window values a[r, j+s] at lane j; SAME pool pads with -inf,
+            # so right-edge shifts fill neg (0.0 would falsely tie pool==0)
+            shifted = {
+                (r, s): shift_l(a_rows[r], s, neg)
+                for r in rows for s in (0, 1, 2)
+            }
+            pool = functools.reduce(jnp.maximum, shifted.values())
+            taken = jnp.zeros((f, w2), jnp.bool_)
+            for r in rows:          # row-major = XLA select_and_scatter order
+                for s in (0, 1, 2):
+                    eq = shifted[(r, s)] == pool
+                    route = jnp.where(eq & ~taken, dpre, 0.0)
+                    taken = taken | eq
+                    da[r] = da[r] + shift_r(route, s)
+
+        dz = []
+        dinv_p = jnp.zeros((f, 1), jnp.float32)
+        doff_p = jnp.zeros((f, 1), jnp.float32)
+        for ci in range(n_conv):
+            dwp = jnp.where(w_pre[ci] > 0, da[ci], 0.0)
+            doff_p += jnp.sum(dwp, axis=1, keepdims=True)
+            dinv_p += jnp.sum(dwp * out_t[ci * f:(ci + 1) * f], axis=1,
+                              keepdims=True)
+            dz.append((dwp * inv).astype(compute_dtype))
+        dz_mat = jnp.concatenate(dz, axis=0)  # (n_conv*f, w2)
+        dg_p = jax.lax.dot_general(
+            dz_mat, s_mat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n_conv*f, 24*rows_in)
+
+        @pl.when((bi == 0) & (mi == 0))
+        def _():
+            dg_ref[...] = jnp.zeros_like(dg_ref)
+            dinv_ref[...] = jnp.zeros_like(dinv_ref)
+            doff_ref[...] = jnp.zeros_like(doff_ref)
+
+        dg_ref[...] += dg_p
+        dinv_ref[...] += dinv_p
+        doff_ref[...] += doff_p
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("normalize", "out_dtype", "interpret", "tm"),
+)
+def fused_stem_bwd_packed(
+    packed: jnp.ndarray,
+    kernel7: jnp.ndarray,
+    bn_inv: jnp.ndarray,
+    bn_off: jnp.ndarray,
+    dy: jnp.ndarray,
+    normalize: Optional[str] = None,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+    tm: int = 2,
+) -> tuple:
+    """Gradients (dkernel7 f32, dbn_inv f32, dbn_off f32) of the fused stem
+    w.r.t. its parameters, given the pooled-output cotangent `dy`
+    (B, H/4, W/4, F) — the all-Pallas alternative to the rematerialized
+    XLA backward in ops/stem_vjp.py (see _make_bwd_kernel). `out_dtype`
+    selects the compute dtype exactly like the forward (bf16 -> bf16
+    matmuls with f32 accumulation)."""
+    b, h, w3 = packed.shape
+    w = w3 // 3
+    if not supports_shape((b, h, w, 3)) or w * 3 != w3:
+        raise ValueError(f"unsupported packed stem shape {packed.shape}")
+    if normalize is not None and packed.dtype != jnp.uint8:
+        raise TypeError("normalize requires uint8 input")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    hp4 = h // 4
+    tm = _resolve_tm(h, tm)
+    rows_in = 4 * tm + 7
+    n_conv = 2 * tm + 1
+    w2, w4 = w // 2, w // 4
+    f = kernel7.shape[-1]
+    compute_dtype = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+
+    xv, g, dmat = _prep_operands(packed, kernel7, tm, compute_dtype)
+    inv = bn_inv.astype(jnp.float32)[:, None]
+    off = bn_off.astype(jnp.float32)[:, None]
+    # channel-major cotangent rows, the layout the forward kernel wrote
+    dy_cm = dy.transpose(0, 1, 3, 2).reshape(b, hp4 * f, w4)
+
+    cbytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    in_bytes = 6 * (h + 8) * w2 * packed.dtype.itemsize
+    work_bytes = (
+        2 * (n_conv * f) * (24 * rows_in) * cbytes          # G (+ copy)
+        + 3 * (24 * rows_in) * w2 * cbytes                  # planes/pieces/S
+        + (n_conv * f) * w2 * (3 * 4 + cbytes)              # out_t/da/dz f32
+        + 12 * f * w2 * 4                                   # window shifts
+        + (n_conv * f) * (24 * rows_in) * 4 * 2             # dG acc + part
+        + w2 * w4 * cbytes
+        + tm * f * w4 * out_dtype_itemsize(dy.dtype)
+    )
+    vmem_limit = min(
+        100 * 1024 * 1024, 2 * in_bytes + 2 * work_bytes + (8 << 20)
+    )
+    params = {}
+    if pltpu is not None and not interpret:
+        cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+        params["compiler_params"] = cp(vmem_limit_bytes=int(vmem_limit))
+
+    dg, dinv, doff = pl.pallas_call(
+        _make_bwd_kernel(h, w, tm, normalize, compute_dtype, f),
+        grid=(b, hp4 // tm),
+        in_specs=[
+            pl.BlockSpec((6, 1, h + 8, w2), lambda bi, mi: (0, bi, 0, 0)),
+            pl.BlockSpec((n_conv * f, 24 * rows_in), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((w2, w4), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((1, tm * f, w4), lambda bi, mi: (bi, mi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_conv * f, 24 * rows_in), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_conv * f, 24 * rows_in), jnp.float32),
+            jax.ShapeDtypeStruct((f, 1), jnp.float32),
+            jax.ShapeDtypeStruct((f, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        **params,
+    )(xv, g, inv, off, dmat, dy_cm)
+
+    # un-band: dG rows for conv row ci are the row-0 band rolled 2*ci
+    # columns, so dg0 = sum_ci roll^{-1}(dG_ci); then dW147[t, f'] =
+    # sum_k sel[t, k] * dg0[f', k] (the transpose of the G assembly)
+    dg0 = sum(
+        jnp.roll(dg[ci * f:(ci + 1) * f], -2 * ci, axis=1)
+        for ci in range(n_conv)
+    )  # (f, 24*rows_in)
+    sel = jnp.asarray(_sel_matrix(rows_in))  # (147, 24*rows_in)
+    dw147 = jax.lax.dot_general(
+        sel, dg0, (((1,), (1,)), ((), ())))  # (147, f)
+    return dw147.reshape(7, 7, 3, f), dinv[:, 0], doff[:, 0]
 
 
 @functools.partial(
@@ -269,31 +522,16 @@ def fused_stem_packed(
     images = packed  # naming below: dtype checks only
 
     hp4 = h // 4
-    tm = min(tm, hp4)
-    while hp4 % tm:  # largest divisor of H/4 at most the requested tm
-        tm -= 1
+    tm = _resolve_tm(h, tm)
     rows_in = 4 * tm + 7
     n_conv = 2 * tm + 1
     w2, w4 = w // 2, w // 4
     f = kernel7.shape[-1]
     compute_dtype = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
 
-    # ---- XLA prep: row-pad, split into six interleaved byte planes -------
-    xp = jnp.pad(packed, ((0, 0), (3, 5), (0, 0)))
-    xv = xp.reshape(b, h + 8, w2, 6).transpose(3, 0, 1, 2)  # (6, B, H+8, w2)
-
-    # ---- G: the banded conv-as-matmul weight ------------------------------
-    w147 = kernel7.astype(jnp.float32).reshape(147, f)
-    sel = jnp.asarray(_sel_matrix(rows_in))  # (147, 24*rows_in)
-    g0 = jax.lax.dot_general(  # (f, 24*rows_in): conv row 0's band
-        w147, sel, (((0,), (0,)), ((), ())))
-    g = jnp.concatenate(
-        [jnp.roll(g0, 2 * ci, axis=1) for ci in range(n_conv)], axis=0
-    ).astype(compute_dtype)  # (n_conv*f, 24*rows_in)
-
+    xv, g, dmat = _prep_operands(packed, kernel7, tm, compute_dtype)
     inv = bn_inv.astype(jnp.float32)[:, None]  # (f, 1)
     off = bn_off.astype(jnp.float32)[:, None]
-    dmat = jnp.asarray(_down_matrix(w2), compute_dtype)  # (w2, w4)
 
     # The default 16 MB scoped-VMEM budget is too small for the large-tm
     # variants (whole-image input block + S + G + f32 accumulator); v5e has

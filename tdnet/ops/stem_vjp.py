@@ -75,31 +75,44 @@ def stem_reference_packed(packed, kernel7, inv, off, normalize, out_dtype):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _stem_train(normalize, out_dtype, packed, kernel7, inv, off):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _stem_train(normalize, out_dtype, backward, packed, kernel7, inv, off):
     return fused_stem_packed(
         packed, kernel7, inv, off, normalize=normalize, out_dtype=out_dtype
     )
 
 
-def _stem_train_fwd(normalize, out_dtype, packed, kernel7, inv, off):
+def _stem_train_fwd(normalize, out_dtype, backward, packed, kernel7, inv, off):
     y = fused_stem_packed(
         packed, kernel7, inv, off, normalize=normalize, out_dtype=out_dtype
     )
     return y, (packed, kernel7, inv, off)
 
 
-def _stem_train_bwd(normalize, out_dtype, residuals, dy):
+def _stem_train_bwd(normalize, out_dtype, backward, residuals, dy):
     packed, kernel7, inv, off = residuals
-    _, vjp = jax.vjp(
-        lambda k, i, o: stem_reference_packed(
-            packed, k, i, o, normalize, out_dtype
-        ),
-        kernel7,
-        inv,
-        off,
-    )
-    dk, dinv, doff = vjp(dy)
+    if backward == "kernel":
+        # all-Pallas backward: recompute + route + accumulate dG in one
+        # kernel (ops/pallas_stem._make_bwd_kernel) — no XLA C=3 conv
+        from tdnet.ops.pallas_stem import fused_stem_bwd_packed
+
+        dk, dinv, doff = fused_stem_bwd_packed(
+            packed, kernel7, inv, off, dy, normalize=normalize,
+            out_dtype=out_dtype,
+        )
+        dk = dk.astype(kernel7.dtype)
+        dinv = dinv.astype(inv.dtype)
+        doff = doff.astype(off.dtype)
+    else:
+        _, vjp = jax.vjp(
+            lambda k, i, o: stem_reference_packed(
+                packed, k, i, o, normalize, out_dtype
+            ),
+            kernel7,
+            inv,
+            off,
+        )
+        dk, dinv, doff = vjp(dy)
     # uint8 image leaf: integer primals take a float0 cotangent
     dpacked = np.zeros(packed.shape, dtype=jax.dtypes.float0)
     return dpacked, dk, dinv, doff
@@ -109,19 +122,25 @@ _stem_train.defvjp(_stem_train_fwd, _stem_train_bwd)
 
 
 def fused_stem_train(packed, kernel7, inv, off, normalize="caffe",
-                     out_dtype=jnp.bfloat16):
+                     out_dtype=jnp.bfloat16, backward="remat"):
     """Differentiable fused ingest+stem on packed (B, H, W*3) uint8 rows.
 
     Forward is the Pallas kernel (ops/pallas_stem.fused_stem_packed);
-    backward rematerializes the XLA reference and returns gradients for
-    (kernel7, inv, off) — see the module docstring. `inv`/`off` are the
-    folded frozen-BN multiplier/offset (models/resnet.py
-    stem_params_from_variables); fold them from `stop_gradient`ed
-    scale/bias to mirror FrozenBatchNorm's frozen=True semantics.
+    `backward` picks the gradient path — "remat" rematerializes the XLA
+    reference, "kernel" runs the all-Pallas backward kernel
+    (ops/pallas_stem.fused_stem_bwd_packed; same gradients incl. maxpool
+    tie routing, tests/ops/test_pallas_stem_bwd.py) — see the module
+    docstring. `inv`/`off` are the folded frozen-BN multiplier/offset
+    (models/resnet.py stem_params_from_variables); fold them from
+    `stop_gradient`ed scale/bias to mirror FrozenBatchNorm's frozen=True
+    semantics.
     """
     b, h, w3 = packed.shape
     if packed.dtype != jnp.uint8:
         raise TypeError(f"fused_stem_train expects uint8 rows, got {packed.dtype}")
     if w3 % 3 or not supports_shape((b, h, w3 // 3, 3)):
         raise ValueError(f"unsupported packed stem shape {packed.shape}")
-    return _stem_train(normalize, jnp.dtype(out_dtype), packed, kernel7, inv, off)
+    if backward not in ("remat", "kernel"):
+        raise ValueError(f"unknown backward mode {backward!r}")
+    return _stem_train(normalize, jnp.dtype(out_dtype), backward,
+                       packed, kernel7, inv, off)

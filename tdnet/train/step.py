@@ -17,6 +17,7 @@ batch sharded; parallel/mesh.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -188,6 +189,10 @@ def make_train_step(
             act = fused_stem_train(
                 images, k7, inv, off, normalize=preprocess_mode,
                 out_dtype=getattr(model, "dtype", None) or jnp.float32,
+                # TDNET_STEM_BWD=remat|kernel picks the gradient path
+                # (rematerialized XLA vs the all-Pallas backward kernel;
+                # tools/perf_stem_train.py measures both)
+                backward=os.environ.get("TDNET_STEM_BWD", "remat"),
             )
             outputs = stem_model.apply(
                 {"params": params, "batch_stats": batch_stats}, act

@@ -81,6 +81,26 @@ def test_gradients_match_pure_xla():
                                rtol=1e-4, atol=1e-2)
 
 
+def test_gradients_kernel_backward_matches_remat():
+    # backward="kernel" (all-Pallas) == backward="remat" == pure XLA
+    k7, inv, off = _params(seed=11)
+    packed, _ = _packed(seed=12)
+    cot = jnp.asarray(
+        np.random.RandomState(13).normal(0, 1, (2, 8, 16, 16)).astype(np.float32)
+    )
+
+    def loss(backward):
+        def f(k, i, o):
+            y = fused_stem_train(packed, k, i, o, normalize="caffe",
+                                 out_dtype=jnp.float32, backward=backward)
+            return jnp.sum(y * cot)
+        return jax.grad(f, argnums=(0, 1, 2))(k7, inv, off)
+
+    for g_k, g_r in zip(loss("kernel"), loss("remat")):
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                                   rtol=1e-4, atol=1e-2)
+
+
 def test_reference_packed_matches_pure_xla():
     # the backward's rematerialized reference == the plain composition
     k7, inv, off = _params(seed=5)

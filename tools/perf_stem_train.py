@@ -6,7 +6,9 @@ three input regimes at the product bucket —
    (round-3 first-half path; train/step.py packed branch),
 3. u8-fused-stem: packed uint8 rows through the differentiable fused
    ingest+stem kernel (ops/stem_vjp.fused_stem_train — Pallas forward,
-   rematerialized XLA backward).
+   rematerialized XLA backward),
+4. u8-fused-stem-kbwd: same forward, all-Pallas backward kernel
+   (TDNET_STEM_BWD=kernel; ops/pallas_stem.fused_stem_bwd_packed).
 
 Prints one JSON line per (regime, batch). BENCH_BATCHES=8,16 by default.
 """
@@ -49,7 +51,8 @@ def main() -> int:
     bucket = (800, 1344)
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "8,16").split(",")]
     regimes = os.environ.get(
-        "BENCH_REGIMES", "f32,u8-xla-stem,u8-fused-stem").split(",")
+        "BENCH_REGIMES",
+        "f32,u8-xla-stem,u8-fused-stem,u8-fused-stem-kbwd").split(",")
     model = RetinaNet(num_classes=1, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
@@ -73,13 +76,17 @@ def main() -> int:
                 raw.reshape(batch, bucket[0], bucket[1] * 3)),
             "u8-fused-stem": jnp.asarray(
                 raw.reshape(batch, bucket[0], bucket[1] * 3)),
+            "u8-fused-stem-kbwd": jnp.asarray(
+                raw.reshape(batch, bucket[0], bucket[1] * 3)),
         }
         for regime in regimes:
+            os.environ["TDNET_STEM_BWD"] = (
+                "kernel" if regime.endswith("kbwd") else "remat")
             state = create_train_state(
                 model, jax.random.PRNGKey(0), (1,) + bucket + (3,))
             step = make_train_step(
                 model, num_classes=1,
-                fused_stem=(regime == "u8-fused-stem"))
+                fused_stem=regime.startswith("u8-fused-stem"))
             batch_data = dict(base, images=jax.device_put(forms[regime]))
             ms, _ = run_step_loop(step, state, batch_data)
             print(json.dumps({
