@@ -251,6 +251,7 @@ def main(argv=None) -> int:
     train_step = make_train_step(
         model, train_ds.num_classes(), anchor_params=anchor_params,
         preprocess_mode=bb.preprocess_mode, fused_stem=args.fused_stem,
+        mesh=mesh,
     )
 
     evaluate_fn = None

@@ -42,6 +42,7 @@ __all__ = [
     "normalize_uint8",
     "normalize_uint8_flat",
     "normalize_uint8_rows",
+    "normalize_uint8_packed_sharded",
     "supports_shape",
     "pack_uint8_host",
 ]
@@ -144,6 +145,46 @@ def normalize_uint8_rows(
         out_shape=jax.ShapeDtypeStruct((rows, w3), out_dtype),
         interpret=interpret,
     )(mat, mean_row)
+
+
+def normalize_uint8_packed_sharded(
+    packed: jnp.ndarray,
+    mode: str = "caffe",
+    out_dtype=jnp.float32,
+    mesh=None,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Batch-sharded form of the rows kernel for multi-device graphs:
+    (B, H, W3) packed uint8 -> normalized (B, H, W3//3, 3).
+
+    pallas_call is opaque to the GSPMD partitioner, so the plain kernel
+    cannot appear in an auto-partitioned graph (it would gather the
+    batch-sharded array). Under shard_map each device normalizes its local
+    batch shard instead — the elementwise op needs no collective. The
+    batch must divide evenly over the mesh axis (callers fall back to the
+    jnp normalize otherwise — train/step.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    b, h, w3 = packed.shape
+    if mesh is None or mesh.size <= 1:
+        out = normalize_uint8_rows(
+            packed.reshape(b * h, w3), mode=mode, out_dtype=out_dtype)
+        return out.reshape(b, h, w3 // 3, 3)
+    if b % mesh.size:
+        raise ValueError(
+            f"batch {b} does not divide over mesh axis {axis!r} "
+            f"({mesh.size} devices)")
+
+    def body(p):
+        lb = p.shape[0]
+        out = normalize_uint8_rows(
+            p.reshape(lb * h, w3), mode=mode, out_dtype=out_dtype)
+        return out.reshape(lb, h, w3 // 3, 3)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+        check_vma=False,
+    )(packed)
 
 
 @functools.partial(

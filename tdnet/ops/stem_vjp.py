@@ -121,8 +121,84 @@ def _stem_train_bwd(normalize, out_dtype, backward, residuals, dy):
 _stem_train.defvjp(_stem_train_fwd, _stem_train_bwd)
 
 
+# ---- mesh-sharded form ----------------------------------------------------
+#
+# pallas_call is an opaque custom call to the GSPMD partitioner, so the plain
+# op above cannot appear in an auto-partitioned multi-device graph (it would
+# force a gather of the batch-sharded array). shard_map makes the kernel
+# SPMD-explicit instead: each device runs the forward kernel on its local
+# batch shard; the backward runs per shard and psums the parameter gradients
+# over the data axis — exactly the collective XLA would have inserted for a
+# partitioned conv's filter gradient. check_rep=False because Mosaic custom
+# calls are opaque to shard_map's replication checker too.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _stem_train_sharded(normalize, out_dtype, backward, mesh, axis,
+                        packed, kernel7, inv, off):
+    return _sharded_fwd(normalize, out_dtype, mesh, axis,
+                        packed, kernel7, inv, off)
+
+
+def _sharded_fwd(normalize, out_dtype, mesh, axis, packed, kernel7, inv, off):
+    from jax.sharding import PartitionSpec as P
+
+    def body(p, k, i, o):
+        return fused_stem_packed(
+            p, k, i, o, normalize=normalize, out_dtype=out_dtype)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(axis), check_vma=False,
+    )(packed, kernel7, inv, off)
+
+
+def _stem_train_sharded_fwd(normalize, out_dtype, backward, mesh, axis,
+                            packed, kernel7, inv, off):
+    y = _sharded_fwd(normalize, out_dtype, mesh, axis,
+                     packed, kernel7, inv, off)
+    return y, (packed, kernel7, inv, off)
+
+
+def _stem_train_sharded_bwd(normalize, out_dtype, backward, mesh, axis,
+                            residuals, dy):
+    from jax.sharding import PartitionSpec as P
+
+    packed, kernel7, inv, off = residuals
+
+    def body(p, k, i, o, dy_local):
+        if backward == "kernel":
+            from tdnet.ops.pallas_stem import fused_stem_bwd_packed
+
+            dk, dinv, doff = fused_stem_bwd_packed(
+                p, k, i, o, dy_local, normalize=normalize,
+                out_dtype=out_dtype)
+            dk = dk.astype(k.dtype)
+            dinv = dinv.astype(i.dtype)
+            doff = doff.astype(o.dtype)
+        else:
+            _, vjp = jax.vjp(
+                lambda kk, ii, oo: stem_reference_packed(
+                    p, kk, ii, oo, normalize, out_dtype), k, i, o)
+            dk, dinv, doff = vjp(dy_local)
+        # sum the per-shard parameter gradients over the data axis
+        return (jax.lax.psum(dk, axis), jax.lax.psum(dinv, axis),
+                jax.lax.psum(doff, axis))
+
+    dk, dinv, doff = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(axis)),
+        out_specs=(P(), P(), P()), check_vma=False,
+    )(packed, kernel7, inv, off, dy)
+    dpacked = np.zeros(packed.shape, dtype=jax.dtypes.float0)
+    return dpacked, dk, dinv, doff
+
+
+_stem_train_sharded.defvjp(_stem_train_sharded_fwd, _stem_train_sharded_bwd)
+
+
 def fused_stem_train(packed, kernel7, inv, off, normalize="caffe",
-                     out_dtype=jnp.bfloat16, backward="remat"):
+                     out_dtype=jnp.bfloat16, backward="remat",
+                     mesh=None, axis="data"):
     """Differentiable fused ingest+stem on packed (B, H, W*3) uint8 rows.
 
     Forward is the Pallas kernel (ops/pallas_stem.fused_stem_packed);
@@ -134,6 +210,12 @@ def fused_stem_train(packed, kernel7, inv, off, normalize="caffe",
     (models/resnet.py stem_params_from_variables); fold them from
     `stop_gradient`ed scale/bias to mirror FrozenBatchNorm's frozen=True
     semantics.
+
+    `mesh` (a jax.sharding.Mesh with a batch axis named `axis`) runs the
+    kernels under shard_map — one per-device invocation on the local batch
+    shard, parameter gradients psum'd over the axis — making the op legal
+    inside a GSPMD-partitioned multi-device graph. The batch size must
+    divide evenly over the axis.
     """
     b, h, w3 = packed.shape
     if packed.dtype != jnp.uint8:
@@ -142,5 +224,12 @@ def fused_stem_train(packed, kernel7, inv, off, normalize="caffe",
         raise ValueError(f"unsupported packed stem shape {packed.shape}")
     if backward not in ("remat", "kernel"):
         raise ValueError(f"unknown backward mode {backward!r}")
+    if mesh is not None and mesh.size > 1:
+        if b % mesh.size:
+            raise ValueError(
+                f"batch {b} does not divide over mesh axis {axis!r} "
+                f"({mesh.size} devices)")
+        return _stem_train_sharded(normalize, jnp.dtype(out_dtype), backward,
+                                   mesh, axis, packed, kernel7, inv, off)
     return _stem_train(normalize, jnp.dtype(out_dtype), backward,
                        packed, kernel7, inv, off)

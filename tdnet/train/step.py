@@ -135,6 +135,7 @@ def make_train_step(
     smooth_l1_sigma: float = 3.0,
     preprocess_mode: str = "caffe",
     fused_stem: Optional[bool] = None,
+    mesh=None,
 ) -> Callable:
     """Build the jittable train step. Anchors are trace-time constants of the
     batch's (bucketed) image shape, so one compilation per bucket.
@@ -147,19 +148,26 @@ def make_train_step(
     caffe/tf mode) runs packed-uint8 batches through the differentiable
     fused ingest+stem Pallas kernel (ops/stem_vjp.fused_stem_train):
     forward fuses normalize+conv+BN+relu+maxpool in one kernel, backward
-    rematerializes the XLA reference — same gradients, less HBM traffic."""
+    rematerializes the XLA reference — same gradients, less HBM traffic.
+
+    `mesh` (the jax.sharding.Mesh of a multi-device run) lets the Pallas
+    ingest/stem kernels participate in partitioned graphs via shard_map
+    (per-device local-shard invocations; parameter grads psum'd) instead
+    of falling back to the plain-jnp normalize."""
     focal_fn = focal(alpha=focal_alpha, gamma=focal_gamma, from_logits=True)
     l1_fn = smooth_l1(sigma=smooth_l1_sigma)
 
-    # pallas_call is an opaque custom call to the GSPMD partitioner: under a
-    # multi-device mesh it would force the batch-sharded global array to be
-    # gathered/replicated. Single device gets the Pallas ingest kernel; any
-    # sharded run takes a plain-jnp normalize (same math; XLA shards it
-    # like any other elementwise op).
+    # pallas_call is an opaque custom call to the GSPMD partitioner: in an
+    # auto-partitioned multi-device graph it would force the batch-sharded
+    # global array to be gathered/replicated. Single device calls the
+    # kernels directly; a sharded run with a known `mesh` wraps them in
+    # shard_map (per-device local-shard invocations); a sharded run WITHOUT
+    # a mesh takes a plain-jnp normalize (same math; XLA shards it like any
+    # other elementwise op).
     single_device = jax.device_count() == 1
     if fused_stem is None:
         fused_stem = (
-            single_device
+            (single_device or mesh is not None)
             and jax.default_backend() == "tpu"
             and getattr(model, "backbone_name", "").lstrip("se").startswith("resnet")
             and preprocess_mode in ("caffe", "tf")
@@ -167,9 +175,18 @@ def make_train_step(
         )
     stem_model = model.clone(stem_input=True) if fused_stem else None
 
+    def _pallas_ok(images):
+        # the Pallas ops are legal single-device, or under shard_map on a
+        # mesh whose data axis divides the batch — never in a plain
+        # auto-partitioned multi-device graph (opaque to GSPMD)
+        if single_device:
+            return True
+        return mesh is not None and images.shape[0] % mesh.size == 0
+
     def loss_fn(params, batch_stats, batch):
         images = batch["images"]
-        if images.dtype == jnp.uint8 and images.ndim == 3 and fused_stem:
+        if (images.dtype == jnp.uint8 and images.ndim == 3 and fused_stem
+                and _pallas_ok(images)):
             # packed (B, H, W*3) rows -> differentiable fused ingest+stem
             # kernel -> model from the pooled activations (stem_input form;
             # conv1/bn1 grads flow through the custom VJP)
@@ -193,6 +210,7 @@ def make_train_step(
                 # (rematerialized XLA vs the all-Pallas backward kernel;
                 # tools/perf_stem_train.py measures both)
                 backward=os.environ.get("TDNET_STEM_BWD", "remat"),
+                mesh=None if single_device else mesh,
             )
             outputs = stem_model.apply(
                 {"params": params, "batch_stats": batch_stats}, act
@@ -210,6 +228,17 @@ def make_train_step(
                     images.reshape(b * h, w3), preprocess_mode,
                     out_dtype=getattr(model, "dtype", None) or jnp.float32,
                 ).reshape(b, h, w3 // 3, 3)
+            elif _pallas_ok(images):
+                # multi-device with a known mesh: the rows kernel runs per
+                # shard under shard_map (ops/pallas_ingest.py)
+                from tdnet.ops.pallas_ingest import \
+                    normalize_uint8_packed_sharded
+
+                images = normalize_uint8_packed_sharded(
+                    images, preprocess_mode,
+                    out_dtype=getattr(model, "dtype", None) or jnp.float32,
+                    mesh=mesh,
+                )
             else:
                 from tdnet.data.image import CAFFE_MEAN_BGR
 

@@ -61,3 +61,69 @@ def test_packed_uint8_train_step_on_mesh():
     l_f32 = float(jax.device_get(m_f32["loss"]))
     assert np.isfinite(l_u8)
     np.testing.assert_allclose(l_u8, l_f32, rtol=1e-6)
+
+
+def test_packed_uint8_mesh_shard_map_pallas_normalize():
+    """make_train_step(mesh=...) routes the packed-uint8 normalize through
+    the Pallas rows kernel under shard_map (one per-device invocation on
+    the local shard) — and matches the meshless jnp-normalize step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(jax.devices()[:8])
+    b, h, w = 8, 64, 96
+
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, h, w, 3))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    base, raw = _batch(b, h, w)
+    packed = dict(base, images=raw.reshape(b, h, w * 3))
+    bp = jax.device_put(packed, batch_sharding(mesh))
+
+    step_jnp = make_train_step(model, num_classes=1)
+    step_mesh = make_train_step(model, num_classes=1, mesh=mesh)
+    _, m_jnp = jax.block_until_ready(step_jnp(state, bp))
+    _, m_mesh = jax.block_until_ready(step_mesh(state, bp))
+    np.testing.assert_allclose(
+        float(jax.device_get(m_mesh["loss"])),
+        float(jax.device_get(m_jnp["loss"])), rtol=1e-6)
+
+
+@pytest.mark.parametrize("backward", ["remat", "kernel"])
+def test_fused_stem_train_on_mesh(backward, monkeypatch):
+    """The fused ingest+stem custom-VJP op under an 8-device mesh
+    (shard_map forward + psum'd parameter gradients, both backward modes)
+    matches the non-fused mesh step's loss."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setenv("TDNET_STEM_BWD", backward)
+    mesh = create_mesh(jax.devices()[:8])
+    b, h, w = 8, 64, 96
+
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, h, w, 3))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    base, raw = _batch(b, h, w)
+    packed = dict(base, images=raw.reshape(b, h, w * 3))
+    bp = jax.device_put(packed, batch_sharding(mesh))
+
+    step_plain = make_train_step(model, num_classes=1, mesh=mesh,
+                                 fused_stem=False)
+    step_fused = make_train_step(model, num_classes=1, mesh=mesh,
+                                 fused_stem=True)
+    st_p, m_p = jax.block_until_ready(step_plain(state, bp))
+    st_f, m_f = jax.block_until_ready(step_fused(state, bp))
+    np.testing.assert_allclose(
+        float(jax.device_get(m_f["loss"])),
+        float(jax.device_get(m_p["loss"])), rtol=1e-4)
+    # parameter gradients psum over the axis: updated params replicated +
+    # close to the non-fused step's
+    k_f = st_f.params["backbone"]["conv1"]["kernel"]
+    assert k_f.sharding.is_fully_replicated
+    # atol: first-step Adam updates are sign(g)*lr-like (lr 1e-5), so a
+    # float-noise sign flip on a near-zero gradient moves a weight 2e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(k_f)),
+        np.asarray(jax.device_get(st_p.params["backbone"]["conv1"]["kernel"])),
+        rtol=5e-3, atol=3e-5)
