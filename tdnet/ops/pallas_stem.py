@@ -26,11 +26,11 @@ Mosaic cannot lower the naive im2col's 1D->2D reshapes):
   window's six (rows_in, W/2) planes (u8 -> i32 -> f32, subtract the
   per-plane scalar mean), zero the pad rows, and lane-shift each plane by
   d in {-2,-1,0,1}, zero-filling (= the conv's column padding). Stacking
-  the 24 shifted planes gives S (24*rows_in, W/2) with
+  the 24 shifted planes gives S (_NP*rows_in, W/2) with
   S[(d,r,row), j] = x_norm[row, 6(j+d) + r].
 - EVERY tap of EVERY conv row in the block is now a row of S: conv output
   (ci)[j, f] = sum_t W147[t, f] * S[s(ci, t), j], so the whole block's conv
-  is ONE dense matmul OutT = G @ S with G ((2*TM+1)*64, 24*rows_in) a
+  is ONE dense matmul OutT = G @ S with G ((2*TM+1)*64, _NP*rows_in) a
   banded constant built from the 7x7x3 weights (G block ci = block 0
   rolled 2*ci columns — taps advance 2 padded rows per conv row). K is
   ~85-91% dense-packed for the MXU vs XLA's tiny-K conv emitter.
@@ -71,6 +71,23 @@ __all__ = ["fused_stem", "fused_stem_packed", "fused_stem_bwd_packed",
            "supports_shape"]
 
 _SHIFTS = (-2, -1, 0, 1)
+# (lane shift d, interleave plane r) pieces actually read by some tap:
+# tap (kc, c) lives at lane offset 3*kc + c - 9 in {-9..11} = piece
+# (d, r) with d, r = divmod(offset, 6). The d=-2 pieces with r < 3 cover
+# offsets -12..-10 — no tap maps there, their G columns are all zero, so
+# they are dropped (21 pieces, not 24: -12.5% matmul K and 3 fewer VPU
+# shift-copies per grid step, bit-exactly).
+_PIECES = tuple(
+    (d, r) for d in _SHIFTS for r in range(6) if not (d == -2 and r < 3)
+)
+_NP = len(_PIECES)  # 21
+_PIECE_IDX = {p: i for i, p in enumerate(_PIECES)}
+# _window_s_matrix builds S as d-grouped stacked-plane shifts; that
+# construction and _sel_matrix must agree on this exact order
+assert _PIECES == (
+    tuple((-2, r) for r in (3, 4, 5))
+    + tuple((d, r) for d in (-1, 0, 1) for r in range(6))
+)
 
 
 def out_dtype_itemsize(dt) -> int:
@@ -91,17 +108,17 @@ def supports_shape(shape) -> bool:
 
 
 def _sel_matrix(rows_in: int) -> np.ndarray:
-    """(147, 24*rows_in) 0/1 matrix: tap t = kr*21 + kc*3 + c of conv row 0
-    reads S row (d_idx*6 + r)*rows_in + kr, where (d, r) = divmod(3*kc+c-9, 6)
-    and d_idx = d + 2."""
-    k = 24 * rows_in
+    """(147, _NP*rows_in) 0/1 matrix: tap t = kr*21 + kc*3 + c of conv row 0
+    reads S row _PIECE_IDX[(d, r)]*rows_in + kr, where
+    (d, r) = divmod(3*kc+c-9, 6)."""
+    k = _NP * rows_in
     sel = np.zeros((147, k), np.float32)
     for kr in range(7):
         for kc in range(7):
             for c in range(3):
                 t = kr * 21 + kc * 3 + c
                 d, r = divmod(3 * kc + c - 9, 6)
-                sel[t, ((d + 2) * 6 + r) * rows_in + kr] = 1.0
+                sel[t, _PIECE_IDX[(d, r)] * rows_in + kr] = 1.0
     return sel
 
 
@@ -123,7 +140,7 @@ def _plane_means(normalize):
 
 
 def _window_s_matrix(x_ref, m0, h, rows_in, normalize, compute_dtype):
-    """The block's S matrix (24*rows_in, w2): normalized, pad-masked window
+    """The block's S matrix (_NP*rows_in, w2): normalized, pad-masked window
     planes, lane-shifted by d in _SHIFTS (see module docstring). Shared by
     the forward and backward kernels — both need the identical S."""
     plane_mean, scale = _plane_means(normalize)
@@ -141,19 +158,22 @@ def _window_s_matrix(x_ref, m0, h, rows_in, normalize, compute_dtype):
             pf = p.astype(jnp.float32)  # float path: pads already zero
         planes.append(pf.astype(compute_dtype))
 
-    pieces = []
-    for d in _SHIFTS:
-        for r in range(6):
-            v = planes[r]
-            if d == 0:
-                pieces.append(v)
-            elif d > 0:
-                pieces.append(jnp.concatenate(
-                    [v[:, d:], jnp.zeros((rows_in, d), v.dtype)], axis=1))
-            else:
-                pieces.append(jnp.concatenate(
-                    [jnp.zeros((rows_in, -d), v.dtype), v[:, :d]], axis=1))
-    return jnp.concatenate(pieces, axis=0)
+    # _PIECES is d-major with r ascending (d=-2 keeps only r>=3), so S is
+    # four d-groups of stacked planes: shifting each STACK once replaces 21
+    # per-piece shift+concat ops with 3 big shifts + 2 concats (identical S)
+    p_all = jnp.concatenate(planes, axis=0)      # (6*rows_in, w2)
+    p_odd = jnp.concatenate(planes[3:], axis=0)  # (3*rows_in, w2), d=-2 set
+
+    def sh(v, d):
+        n = v.shape[0]
+        if d > 0:
+            return jnp.concatenate(
+                [v[:, d:], jnp.zeros((n, d), v.dtype)], axis=1)
+        return jnp.concatenate(
+            [jnp.zeros((n, -d), v.dtype), v[:, :d]], axis=1)
+
+    return jnp.concatenate(
+        [sh(p_odd, -2), sh(p_all, -1), p_all, sh(p_all, 1)], axis=0)
 
 
 def _resolve_tm(h: int, tm: int) -> int:
@@ -168,7 +188,7 @@ def _resolve_tm(h: int, tm: int) -> int:
 def _prep_operands(packed, kernel7, tm, compute_dtype):
     """XLA prep shared by the forward and backward kernels: the six
     interleaved byte planes xv (6, B, H+8, w2), the banded conv-as-matmul
-    weight G (n_conv*f, 24*rows_in), and the stride-2 lane-downsample
+    weight G (n_conv*f, _NP*rows_in), and the stride-2 lane-downsample
     selection matrix dmat (w2, w2//2)."""
     b, h, w3 = packed.shape
     w = w3 // 3
@@ -183,18 +203,18 @@ def _prep_operands(packed, kernel7, tm, compute_dtype):
 
     # G: conv row 0's band, rolled 2 columns per subsequent conv row
     w147 = kernel7.astype(jnp.float32).reshape(147, f)
-    sel = jnp.asarray(_sel_matrix(rows_in))  # (147, 24*rows_in)
-    g0 = jax.lax.dot_general(  # (f, 24*rows_in)
+    sel = jnp.asarray(_sel_matrix(rows_in))  # (147, _NP*rows_in)
+    g0 = jax.lax.dot_general(  # (f, _NP*rows_in)
         w147, sel, (((0,), (0,)), ((), ())))
     g = jnp.concatenate(
         [jnp.roll(g0, 2 * ci, axis=1) for ci in range(n_conv)], axis=0
-    ).astype(compute_dtype)  # (n_conv*f, 24*rows_in)
+    ).astype(compute_dtype)  # (n_conv*f, _NP*rows_in)
 
     dmat = jnp.asarray(_down_matrix(w2), compute_dtype)  # (w2, w4)
     return xv, g, dmat
 
 
-def _make_kernel(h, w, tm, normalize, compute_dtype, f):
+def _make_kernel(h, w, tm, normalize, compute_dtype, f, direct=False):
     w2 = w // 2
     w4 = w // 4
     rows_in = 4 * tm + 7
@@ -217,11 +237,19 @@ def _make_kernel(h, w, tm, normalize, compute_dtype, f):
         off = off_ref[...]  # (f, 1)
         dmat = d_ref[...]   # (w2, w4)
 
-        # ---- BN + ReLU + column max3 per conv-row block -------------------
+        # ---- BN + ReLU over the whole block, then cast to compute dtype.
+        # Casting BEFORE the max chain is bit-exact (rounding is monotone:
+        # round(max(a,b)) == max(round(a), round(b)); ReLU likewise), and
+        # halves the VPU traffic of every shift/max below when bf16.
+        inv_t = jnp.concatenate([inv] * n_conv, axis=0)  # (n_conv*f, 1)
+        off_t = jnp.concatenate([off] * n_conv, axis=0)
+        y_all = jnp.maximum(out_t * inv_t + off_t, 0.0).astype(compute_dtype)
+        neg = jnp.asarray(neg, compute_dtype)
+
+        # ---- column max3 per conv-row block -------------------------------
         yc = []
         for ci in range(n_conv):
-            y = out_t[ci * f:(ci + 1) * f]  # (f, w2)
-            y = jnp.maximum(y * inv + off, 0.0)
+            y = y_all[ci * f:(ci + 1) * f]  # (f, w2)
             y1 = jnp.concatenate(
                 [y[:, 1:], jnp.full((f, 1), neg, y.dtype)], axis=1)
             y2 = jnp.concatenate(
@@ -243,7 +271,22 @@ def _make_kernel(h, w, tm, normalize, compute_dtype, f):
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (f, w4)
-            o_ref[0, m * f:(m + 1) * f, :] = pooled.astype(o_ref.dtype)
+            if direct:
+                # transpose (f, w4) -> (w4, f) on the MXU (identity matmul,
+                # exact: each output is one input value summed in f32) and
+                # write NHWC directly — no XLA untangle pass after the call
+                eye = (
+                    jax.lax.broadcasted_iota(jnp.int32, (f, f), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
+                ).astype(compute_dtype)
+                pt = jax.lax.dot_general(
+                    pooled.astype(compute_dtype), eye,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (w4, f)
+                o_ref[0, m, :, :] = pt.astype(o_ref.dtype)
+            else:
+                o_ref[0, m * f:(m + 1) * f, :] = pooled.astype(o_ref.dtype)
 
     return kernel
 
@@ -340,7 +383,7 @@ def _make_bwd_kernel(h, w, tm, normalize, compute_dtype, f):
         dg_p = jax.lax.dot_general(
             dz_mat, s_mat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (n_conv*f, 24*rows_in)
+        )  # (n_conv*f, _NP*rows_in)
 
         @pl.when((bi == 0) & (mi == 0))
         def _():
@@ -402,11 +445,11 @@ def fused_stem_bwd_packed(
     cbytes = 2 if compute_dtype == jnp.bfloat16 else 4
     in_bytes = 6 * (h + 8) * w2 * packed.dtype.itemsize
     work_bytes = (
-        2 * (n_conv * f) * (24 * rows_in) * cbytes          # G (+ copy)
-        + 3 * (24 * rows_in) * w2 * cbytes                  # planes/pieces/S
+        2 * (n_conv * f) * (_NP * rows_in) * cbytes          # G (+ copy)
+        + 3 * (_NP * rows_in) * w2 * cbytes                  # planes/pieces/S
         + (n_conv * f) * w2 * (3 * 4 + cbytes)              # out_t/da/dz f32
         + 12 * f * w2 * 4                                   # window shifts
-        + (n_conv * f) * (24 * rows_in) * 4 * 2             # dG acc + part
+        + (n_conv * f) * (_NP * rows_in) * 4 * 2             # dG acc + part
         + w2 * w4 * cbytes
         + tm * f * w4 * out_dtype_itemsize(dy.dtype)
     )
@@ -423,19 +466,19 @@ def fused_stem_bwd_packed(
         grid=(b, hp4 // tm),
         in_specs=[
             pl.BlockSpec((6, 1, h + 8, w2), lambda bi, mi: (0, bi, 0, 0)),
-            pl.BlockSpec((n_conv * f, 24 * rows_in), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((n_conv * f, _NP * rows_in), lambda bi, mi: (0, 0)),
             pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
             pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
             pl.BlockSpec((w2, w4), lambda bi, mi: (0, 0)),
             pl.BlockSpec((1, tm * f, w4), lambda bi, mi: (bi, mi, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((n_conv * f, 24 * rows_in), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((n_conv * f, _NP * rows_in), lambda bi, mi: (0, 0)),
             pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
             pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_conv * f, 24 * rows_in), jnp.float32),
+            jax.ShapeDtypeStruct((n_conv * f, _NP * rows_in), jnp.float32),
             jax.ShapeDtypeStruct((f, 1), jnp.float32),
             jax.ShapeDtypeStruct((f, 1), jnp.float32),
         ],
@@ -449,8 +492,8 @@ def fused_stem_bwd_packed(
     dg0 = sum(
         jnp.roll(dg[ci * f:(ci + 1) * f], -2 * ci, axis=1)
         for ci in range(n_conv)
-    )  # (f, 24*rows_in)
-    sel = jnp.asarray(_sel_matrix(rows_in))  # (147, 24*rows_in)
+    )  # (f, _NP*rows_in)
+    sel = jnp.asarray(_sel_matrix(rows_in))  # (147, _NP*rows_in)
     dw147 = jax.lax.dot_general(
         sel, dg0, (((1,), (1,)), ((), ())))  # (147, f)
     return dw147.reshape(7, 7, 3, f), dinv[:, 0], doff[:, 0]
@@ -495,7 +538,7 @@ def fused_stem(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("normalize", "out_dtype", "interpret", "tm"),
+    static_argnames=("normalize", "out_dtype", "interpret", "tm", "direct"),
 )
 def fused_stem_packed(
     packed: jnp.ndarray,
@@ -506,9 +549,18 @@ def fused_stem_packed(
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
     tm: int = 2,
+    direct: Optional[bool] = None,
 ) -> jnp.ndarray:
     """fused_stem on the packed (B, H, W*3) byte-row view (the jit-boundary
-    form — a free numpy view of the contiguous NHWC host batch)."""
+    form — a free numpy view of the contiguous NHWC host batch).
+
+    direct: write NHWC from the kernel (in-kernel MXU transpose) instead of
+    channel-major rows + an XLA untangle transpose. Bit-identical output;
+    perf A/B only. None -> env TDNET_STEM_DIRECT (default off)."""
+    import os as _os
+
+    if direct is None:
+        direct = _os.environ.get("TDNET_STEM_DIRECT", "0") == "1"
     b, h, w3 = packed.shape
     w = w3 // 3
     if not supports_shape((b, h, w, 3)) or w * 3 != w3:
@@ -539,8 +591,8 @@ def fused_stem_packed(
     cbytes = 2 if compute_dtype == jnp.bfloat16 else 4
     in_bytes = 6 * (h + 8) * w2 * images.dtype.itemsize
     work_bytes = (
-        2 * (n_conv * f) * (24 * rows_in) * cbytes      # G (+ copy)
-        + 3 * (24 * rows_in) * w2 * cbytes              # planes/pieces/S
+        2 * (n_conv * f) * (_NP * rows_in) * cbytes      # G (+ copy)
+        + 3 * (_NP * rows_in) * w2 * cbytes              # planes/pieces/S
         + (n_conv * f) * w2 * (4 + 2 * cbytes)          # out_t f32 + yc
         + w2 * w4 * cbytes                              # dmat
         + 4 * tm * f * w4 * out_dtype_itemsize(out_dtype)
@@ -554,25 +606,42 @@ def fused_stem_packed(
     params = {}
     if pltpu is not None and not interpret:
         cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
-        params["compiler_params"] = cp(vmem_limit_bytes=int(vmem_limit))
+        # forward grid steps are independent (disjoint output blocks):
+        # declaring them parallel lets Mosaic overlap DMA across steps.
+        # (The backward kernel accumulates into shared refs — stays
+        # sequential ("arbitrary").)
+        params["compiler_params"] = cp(
+            vmem_limit_bytes=int(vmem_limit),
+            dimension_semantics=("parallel", "parallel"),
+        )
+
+    if direct:
+        out_specs = pl.BlockSpec(
+            (1, tm, w4, f), lambda bi, mi: (bi, mi, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, hp4, w4, f), out_dtype)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, tm * f, w4), lambda bi, mi: (bi, mi, 0))
+        out_shape = jax.ShapeDtypeStruct((b, hp4 * f, w4), out_dtype)
 
     out = pl.pallas_call(
-        _make_kernel(h, w, tm, normalize, compute_dtype, f),
+        _make_kernel(h, w, tm, normalize, compute_dtype, f, direct=direct),
         grid=(b, hp4 // tm),
         in_specs=[
             pl.BlockSpec((6, 1, h + 8, w2), lambda bi, mi: (0, bi, 0, 0)),
-            pl.BlockSpec((n_conv * f, 24 * rows_in), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((n_conv * f, _NP * rows_in), lambda bi, mi: (0, 0)),
             pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
             pl.BlockSpec((f, 1), lambda bi, mi: (0, 0)),
             pl.BlockSpec((w2, w4), lambda bi, mi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tm * f, w4), lambda bi, mi: (bi, mi, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, hp4 * f, w4), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         **params,
     )(xv, g, inv, off, dmat)
+
+    if direct:
+        return out  # already (B, hp4, w4, F)
 
     # untangle the channel-major rows: (B, hp4*F, w4) -> (B, hp4, w4, F)
     return out.reshape(b, hp4, f, w4).transpose(0, 1, 3, 2)

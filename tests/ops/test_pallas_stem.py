@@ -115,6 +115,25 @@ def test_packed_form_equals_nhwc_form():
     np.testing.assert_array_equal(np.asarray(via_nhwc), np.asarray(via_packed))
 
 
+def test_direct_nhwc_store_is_bit_identical():
+    # direct=True writes NHWC from the kernel (in-kernel MXU identity
+    # transpose) instead of channel-major rows + XLA untangle; same bits
+    from tdnet.ops.pallas_stem import fused_stem_packed
+
+    h, w = 32, 64
+    kernel7, scale, bias, mean, var, inv, off = _params(seed=11)
+    x8 = np.random.RandomState(12).randint(0, 256, (2, h, w * 3), np.uint8)
+    base = fused_stem_packed(jnp.asarray(x8), kernel7, inv, off,
+                             normalize="caffe", out_dtype=jnp.bfloat16,
+                             interpret=True, direct=False)
+    direct = fused_stem_packed(jnp.asarray(x8), kernel7, inv, off,
+                               normalize="caffe", out_dtype=jnp.bfloat16,
+                               interpret=True, direct=True)
+    np.testing.assert_array_equal(
+        np.asarray(base.astype(jnp.float32)),
+        np.asarray(direct.astype(jnp.float32)))
+
+
 def test_rejects_bad_inputs():
     kernel7, _, _, _, _, inv, off = _params()
     with pytest.raises(TypeError, match="normalize requires uint8"):

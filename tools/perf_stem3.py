@@ -80,17 +80,18 @@ def main():
                                      tm=tm)
         return fn
 
-    def pallas_u8(tm):
+    def pallas_u8(tm, direct=False):
         @jax.jit
         def fn(x):
             return fused_stem_packed(x, kernel7, inv, off, normalize="caffe",
                                      out_dtype=jnp.bfloat16, interpret=False,
-                                     tm=tm)
+                                     tm=tm, direct=direct)
         return fn
 
     arms = [("xla_float", xla_float, xf)]
     for tm in tms:
         arms.append((f"pallas_u8[tm={tm}]", pallas_u8(tm), x8))
+        arms.append((f"pallas_u8[tm={tm},direct]", pallas_u8(tm, True), x8))
     arms.append((f"pallas_float[tm={tms[0]}]", pallas_float(tms[0]), xfp))
 
     for name, fn, arg in arms:
