@@ -9,13 +9,14 @@ vs_baseline is measured against that.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-Default config (round 3): batch 128 (measured sweep peak: 267.9 img/s vs
-258.4 @64, 261.9 @96, 259.3 @160, 262.4 @192), bf16, Pallas NMS, and
+Default config (round 3): batch 128 (measured sweep peak: 273.1 img/s vs
+258.4 @64, 261.9 @96, 262.3 @160, 262.4 @192), bf16, Pallas NMS, and
 BENCH_STEM=1 — raw uint8 page canvases through the fused Pallas
 ingest+stem kernel (the product's real ingest path, 4x less host->device
 transfer; beats the prenormalized-f32 arm outright). Env overrides: BENCH_BATCH,
 BENCH_ITERS (default 10), BENCH_DTYPE (bf16|f32), BENCH_PALLAS (1|0),
-BENCH_STEM (1|0), BENCH_STEM_TM (default 2, measured best),
+BENCH_STEM (1|0), BENCH_STEM_TM (default 4, measured best after the
+second kernel pass: 273.1 vs 270.0 @tm=2, 267.4 @tm=8),
 BENCH_FUSED=1 (flat-normalize uint8 arm, no stem fusion).
 """
 
@@ -77,7 +78,7 @@ def main() -> int:
     # pooled C=64 activations ever exist on device). BENCH_STEM_TM tunes
     # the kernel's row-block size.
     fused_stem = os.environ.get("BENCH_STEM", "1") == "1"
-    stem_tm = int(os.environ.get("BENCH_STEM_TM", "2"))
+    stem_tm = int(os.environ.get("BENCH_STEM_TM", "4"))
     if fused_stem:
         from tdnet.models.retinanet import RetinaNet as _RN
 

@@ -511,7 +511,7 @@ def fused_stem(
     normalize: Optional[str] = None,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
-    tm: int = 2,
+    tm: int = 4,  # measured best in-pipeline (273.1 vs 270.0 img/s @tm=2)
 ) -> jnp.ndarray:
     """images (B,H,W,3) [uint8 when `normalize`, else float already
     normalized] -> pooled stem activations (B, H/4, W/4, F).
@@ -548,7 +548,7 @@ def fused_stem_packed(
     normalize: Optional[str] = None,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
-    tm: int = 2,
+    tm: int = 4,  # measured best in-pipeline (273.1 vs 270.0 img/s @tm=2)
     direct: Optional[bool] = None,
 ) -> jnp.ndarray:
     """fused_stem on the packed (B, H, W*3) byte-row view (the jit-boundary

@@ -208,8 +208,12 @@ def make_train_step(
                 out_dtype=getattr(model, "dtype", None) or jnp.float32,
                 # TDNET_STEM_BWD=remat|kernel picks the gradient path
                 # (rematerialized XLA vs the all-Pallas backward kernel;
-                # tools/perf_stem_train.py measures both)
-                backward=os.environ.get("TDNET_STEM_BWD", "remat"),
+                # tools/perf_stem_train.py measures both). Default "kernel":
+                # measured fastest (batch 16, 800x1344: 82.8 img/s vs 78.9
+                # remat) and gradient-equivalence-tested against remat/XLA
+                # incl. the sharded form (tests/ops/test_stem_vjp.py,
+                # tests/parallel/test_mesh_uint8.py).
+                backward=os.environ.get("TDNET_STEM_BWD", "kernel"),
                 mesh=None if single_device else mesh,
             )
             outputs = stem_model.apply(
