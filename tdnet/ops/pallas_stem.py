@@ -43,9 +43,10 @@ Mosaic cannot lower the naive im2col's 1D->2D reshapes):
 
 Weights enter as the raw (7,7,3,F) kernel; G is assembled from them in XLA
 per call (a constant 0/1 selection matmul + rolls), so the op stays a pure
-function of the parameters. Forward-only: training keeps the XLA stem
-(pallas_call has no autodiff rule here); inference (bench/predictor) is
-where the stem and the uint8 ingestion dominate.
+function of the parameters. Training uses this kernel too: ops/stem_vjp.py
+wraps it in a jax.custom_vjp whose backward is either a rematerialized XLA
+op sequence or the all-Pallas `fused_stem_bwd_packed` below (the product
+default — see train/step.py).
 
 Validated against the XLA stem in tests/ops/test_pallas_stem.py.
 """
@@ -95,12 +96,16 @@ def out_dtype_itemsize(dt) -> int:
 
 
 def supports_shape(shape) -> bool:
-    """(B, H, W, 3) with H, W multiples of 4 (every bucket qualifies:
-    dims are multiples of 32 — data/generator.py default_buckets)."""
+    """(B, H, W, 3) with H a multiple of 8 and W a multiple of 4 (every
+    bucket qualifies: dims are multiples of 32 — data/generator.py
+    default_buckets). H % 8 guarantees H/4 is even, so _resolve_tm can
+    always pick an even row-block size — Mosaic requires the window row
+    offset 4*tm*mi to be 8-sublane-aligned, which an odd tm with more
+    than one grid step violates (hard compile error on TPU)."""
     return (
         len(shape) == 4
         and shape[-1] == 3
-        and shape[1] % 4 == 0
+        and shape[1] % 8 == 0
         and shape[2] % 4 == 0
         and shape[1] >= 8
         and shape[2] >= 8
@@ -177,12 +182,22 @@ def _window_s_matrix(x_ref, m0, h, rows_in, normalize, compute_dtype):
 
 
 def _resolve_tm(h: int, tm: int) -> int:
-    """Largest divisor of H/4 at most the requested tm."""
+    """Largest usable divisor of H/4 at most the requested tm.
+
+    Usable = even, or equal to H/4 (single row-block): the kernels read the
+    input window at row offset 4*tm*mi, and Mosaic requires that offset to
+    be statically 8-sublane-aligned — an odd tm with more than one grid
+    step fails to compile on TPU (verified: h=24 resolves 4 -> 3 under the
+    naive rule and aborts with "cannot statically prove that index ... is
+    a multiple of 8")."""
     hp4 = h // 4
-    tm = min(tm, hp4)
-    while hp4 % tm:
-        tm -= 1
-    return tm
+    for cand in range(min(tm, hp4), 0, -1):
+        if hp4 % cand == 0 and (cand % 2 == 0 or cand == hp4):
+            return cand
+    raise ValueError(
+        f"no usable row-block size for H={h} (H/4={hp4} odd); "
+        "supports_shape() gates this out"
+    )
 
 
 def _prep_operands(packed, kernel7, tm, compute_dtype):
@@ -322,13 +337,22 @@ def _make_bwd_kernel(h, w, tm, normalize, compute_dtype, f):
         off = off_ref[...]
         dmat = d_ref[...]   # (w2, w4)
 
-        # per conv row: pre-activation, relu output (pool input), masks;
-        # the out-of-image last row (global 2*m0 + 2*tm == h/2 in the last
-        # block) is neg so it can never win a pool window (a >= 0 > neg)
+        # per conv row: pre-activation (f32, for the ReLU mask and the BN
+        # gradients) and the relu output ROUNDED THROUGH compute_dtype —
+        # the pool routing below must compare the exact values the forward
+        # pooled (the forward casts BN+ReLU output to compute_dtype before
+        # its max chain); routing on the unrounded f32 values misroutes
+        # wherever two window entries are distinct in f32 but tie on the
+        # bf16 grid (common in constant-color page regions). The round-trip
+        # cast back to f32 is exact (bf16 ⊂ f32) and keeps the comparisons
+        # in f32 — Mosaic does not lower bf16 `==` on this target. The
+        # out-of-image last row (global 2*m0 + 2*tm == h/2 in the last
+        # block) is neg so it can never win a pool window (a >= 0 > neg).
         w_pre, a_rows = [], []
         for ci in range(n_conv):
             wp = out_t[ci * f:(ci + 1) * f] * inv + off
-            a = jnp.maximum(wp, 0.0)
+            a = (jnp.maximum(wp, 0.0).astype(compute_dtype)
+                 .astype(jnp.float32))
             if ci == n_conv - 1:
                 last_ok = (2 * m0 + 2 * tm) < (h // 2)
                 a = jnp.where(last_ok, a, jnp.full_like(a, neg))
@@ -425,6 +449,10 @@ def fused_stem_bwd_packed(
         raise ValueError(f"unsupported packed stem shape {packed.shape}")
     if normalize is not None and packed.dtype != jnp.uint8:
         raise TypeError("normalize requires uint8 input")
+    if normalize is None and packed.dtype == jnp.uint8:
+        # mirror the forward's guard: without it the float path would run
+        # astype on raw bytes and return finite but WRONG gradients
+        raise TypeError("uint8 input requires a normalize mode")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -520,7 +548,8 @@ def fused_stem(
     multiplier/offset (inv = scale/rsqrt, off = bias - mean*inv). Matches
     StemConv + FrozenBatchNorm + ReLU + SAME 3x3/2 maxpool
     (models/resnet.py:84-127,170-173) to float tolerance (MXU contraction
-    order differs from XLA's conv emitter). Forward-only.
+    order differs from XLA's conv emitter). Differentiable via
+    ops/stem_vjp.fused_stem_train (custom VJP; see module docstring).
 
     LAYOUT TRAP: only call this form on INTERMEDIATES inside a larger jit.
     A (B, H, W, 3) jit ARGUMENT gets the padded T(8,128) layout (C: 3->128,
@@ -536,10 +565,6 @@ def fused_stem(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("normalize", "out_dtype", "interpret", "tm", "direct"),
-)
 def fused_stem_packed(
     packed: jnp.ndarray,
     kernel7: jnp.ndarray,
@@ -556,11 +581,35 @@ def fused_stem_packed(
 
     direct: write NHWC from the kernel (in-kernel MXU transpose) instead of
     channel-major rows + an XLA untangle transpose. Bit-identical output;
-    perf A/B only. None -> env TDNET_STEM_DIRECT (default off)."""
+    perf A/B only (measured +2.6 ms at batch 32 — a negative, default off).
+    None -> env TDNET_STEM_DIRECT, resolved HERE (outside the jit cache) so
+    flipping the env between calls is honored rather than silently hitting
+    the first call's cached trace."""
     import os as _os
 
     if direct is None:
         direct = _os.environ.get("TDNET_STEM_DIRECT", "0") == "1"
+    return _fused_stem_packed(
+        packed, kernel7, bn_inv, bn_off, normalize=normalize,
+        out_dtype=out_dtype, interpret=interpret, tm=tm, direct=bool(direct),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("normalize", "out_dtype", "interpret", "tm", "direct"),
+)
+def _fused_stem_packed(
+    packed: jnp.ndarray,
+    kernel7: jnp.ndarray,
+    bn_inv: jnp.ndarray,
+    bn_off: jnp.ndarray,
+    normalize: Optional[str],
+    out_dtype,
+    interpret: Optional[bool],
+    tm: int,
+    direct: bool,
+) -> jnp.ndarray:
     b, h, w3 = packed.shape
     w = w3 // 3
     if not supports_shape((b, h, w, 3)) or w * 3 != w3:

@@ -9,14 +9,22 @@ the same kernel to TRAINING via `jax.custom_vjp`:
   frozen-BN + ReLU + 3x3/2 SAME maxpool), uint8 in — the (B, H, W, 3)
   float canvas and the (B, H/2, W/2, 64) conv output never touch HBM on
   the forward path;
-- backward: rematerialized XLA reference. The packed bytes are re-normalized
-  (Pallas rows kernel, ~2 ms — XLA's own uint8 lowering is the measured
-  catastrophe, see ops/pallas_ingest.py) and the stem's gradient is the
-  `jax.vjp` of the exact op sequence the non-fused train path runs
-  (StemConv -> FrozenBatchNorm -> relu -> max_pool; models/resnet.py:
-  184-192). Gradient ROUTING (e.g. maxpool argmax ties) is therefore
-  bit-identical to non-fused training; only the forward VALUES differ by
-  the kernel's float tolerance (MXU contraction order).
+- backward, two modes (fused_stem_train(backward=...)):
+  "remat" — rematerialized XLA reference. The packed bytes are
+  re-normalized (Pallas rows kernel, ~2 ms — XLA's own uint8 lowering is
+  the measured catastrophe, see ops/pallas_ingest.py) and the stem's
+  gradient is the `jax.vjp` of the exact op sequence the non-fused train
+  path runs (StemConv -> FrozenBatchNorm -> relu -> max_pool;
+  models/resnet.py:184-192). Gradient ROUTING (e.g. maxpool argmax ties)
+  is therefore bit-identical to NON-FUSED training; the forward VALUES
+  differ from the Pallas forward by float tolerance (MXU contraction
+  order), so in bf16 its routing can differ from the Pallas forward's
+  where the two roundings disagree.
+  "kernel" — the all-Pallas backward (ops/pallas_stem.
+  fused_stem_bwd_packed), the product default (train/step.py; measured
+  fastest): recomputes the banded conv in VMEM and routes the pool
+  gradient on the SAME bf16-rounded values the Pallas forward pooled —
+  faithful to the forward actually being trained.
 
 Memory/traffic trade (why remat): the non-fused path must keep the conv
 output alive from forward to backward for the relu/pool routing —
@@ -89,8 +97,10 @@ def _stem_train_fwd(normalize, out_dtype, backward, packed, kernel7, inv, off):
     return y, (packed, kernel7, inv, off)
 
 
-def _stem_train_bwd(normalize, out_dtype, backward, residuals, dy):
-    packed, kernel7, inv, off = residuals
+def _param_grads(backward, normalize, out_dtype, packed, kernel7, inv, off,
+                 dy):
+    """(dkernel7, dinv, doff) in the params' dtypes — the single backward
+    dispatch shared by the plain and the shard_map-per-shard paths."""
     if backward == "kernel":
         # all-Pallas backward: recompute + route + accumulate dG in one
         # kernel (ops/pallas_stem._make_bwd_kernel) — no XLA C=3 conv
@@ -100,9 +110,6 @@ def _stem_train_bwd(normalize, out_dtype, backward, residuals, dy):
             packed, kernel7, inv, off, dy, normalize=normalize,
             out_dtype=out_dtype,
         )
-        dk = dk.astype(kernel7.dtype)
-        dinv = dinv.astype(inv.dtype)
-        doff = doff.astype(off.dtype)
     else:
         _, vjp = jax.vjp(
             lambda k, i, o: stem_reference_packed(
@@ -113,6 +120,14 @@ def _stem_train_bwd(normalize, out_dtype, backward, residuals, dy):
             off,
         )
         dk, dinv, doff = vjp(dy)
+    return (dk.astype(kernel7.dtype), dinv.astype(inv.dtype),
+            doff.astype(off.dtype))
+
+
+def _stem_train_bwd(normalize, out_dtype, backward, residuals, dy):
+    packed, kernel7, inv, off = residuals
+    dk, dinv, doff = _param_grads(
+        backward, normalize, out_dtype, packed, kernel7, inv, off, dy)
     # uint8 image leaf: integer primals take a float0 cotangent
     dpacked = np.zeros(packed.shape, dtype=jax.dtypes.float0)
     return dpacked, dk, dinv, doff
@@ -166,20 +181,8 @@ def _stem_train_sharded_bwd(normalize, out_dtype, backward, mesh, axis,
     packed, kernel7, inv, off = residuals
 
     def body(p, k, i, o, dy_local):
-        if backward == "kernel":
-            from tdnet.ops.pallas_stem import fused_stem_bwd_packed
-
-            dk, dinv, doff = fused_stem_bwd_packed(
-                p, k, i, o, dy_local, normalize=normalize,
-                out_dtype=out_dtype)
-            dk = dk.astype(k.dtype)
-            dinv = dinv.astype(i.dtype)
-            doff = doff.astype(o.dtype)
-        else:
-            _, vjp = jax.vjp(
-                lambda kk, ii, oo: stem_reference_packed(
-                    p, kk, ii, oo, normalize, out_dtype), k, i, o)
-            dk, dinv, doff = vjp(dy_local)
+        dk, dinv, doff = _param_grads(
+            backward, normalize, out_dtype, p, k, i, o, dy_local)
         # sum the per-shard parameter gradients over the data axis
         return (jax.lax.psum(dk, axis), jax.lax.psum(dinv, axis),
                 jax.lax.psum(doff, axis))
@@ -204,9 +207,17 @@ def fused_stem_train(packed, kernel7, inv, off, normalize="caffe",
     Forward is the Pallas kernel (ops/pallas_stem.fused_stem_packed);
     `backward` picks the gradient path — "remat" rematerializes the XLA
     reference, "kernel" runs the all-Pallas backward kernel
-    (ops/pallas_stem.fused_stem_bwd_packed; same gradients incl. maxpool
-    tie routing, tests/ops/test_pallas_stem_bwd.py) — see the module
-    docstring. `inv`/`off` are the folded frozen-BN multiplier/offset
+    (ops/pallas_stem.fused_stem_bwd_packed). In f32 the two produce the
+    same gradients incl. maxpool tie routing (tests/ops/
+    test_pallas_stem_bwd.py). In bf16 they are NOT bit-identical: each
+    routes the pool gradient on its own forward's bf16-rounded
+    activations, and the two forwards differ by accumulation order
+    (f32-accumulated banded matmul vs XLA's bf16 conv) — "kernel" routes
+    on the exact values the Pallas forward pooled (faithful to the
+    product forward), "remat" on the XLA reference's. Measured: matched
+    tie sets on constant regions, small elementwise deltas on random
+    input (tests/ops/test_stem_vjp.py bf16 test). `inv`/`off` are the
+    folded frozen-BN multiplier/offset
     (models/resnet.py stem_params_from_variables); fold them from
     `stop_gradient`ed scale/bias to mirror FrozenBatchNorm's frozen=True
     semantics.

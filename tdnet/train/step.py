@@ -183,10 +183,20 @@ def make_train_step(
             return True
         return mesh is not None and images.shape[0] % mesh.size == 0
 
+    def _stem_shape_ok(images):
+        # the fused-stem kernel supports H % 8 == 0, W % 4 == 0 (every
+        # default bucket); anything else must FALL THROUGH to the Pallas
+        # normalize + XLA stem path below, which handles any shape —
+        # without this guard fused_stem_train raises at trace time
+        from tdnet.ops.pallas_stem import supports_shape
+
+        b, h, w3 = images.shape
+        return w3 % 3 == 0 and supports_shape((b, h, w3 // 3, 3))
+
     def loss_fn(params, batch_stats, batch):
         images = batch["images"]
         if (images.dtype == jnp.uint8 and images.ndim == 3 and fused_stem
-                and _pallas_ok(images)):
+                and _pallas_ok(images) and _stem_shape_ok(images)):
             # packed (B, H, W*3) rows -> differentiable fused ingest+stem
             # kernel -> model from the pooled activations (stem_input form;
             # conv1/bn1 grads flow through the custom VJP)
@@ -210,9 +220,11 @@ def make_train_step(
                 # (rematerialized XLA vs the all-Pallas backward kernel;
                 # tools/perf_stem_train.py measures both). Default "kernel":
                 # measured fastest (batch 16, 800x1344: 82.8 img/s vs 78.9
-                # remat) and gradient-equivalence-tested against remat/XLA
-                # incl. the sharded form (tests/ops/test_stem_vjp.py,
-                # tests/parallel/test_mesh_uint8.py).
+                # remat); f32-equivalent to remat/XLA incl. the sharded
+                # form, and in bf16 it routes the pool gradient on the
+                # exact values the Pallas forward pooled (see
+                # ops/stem_vjp.py module docstring for the bf16
+                # remat-vs-kernel delta).
                 backward=os.environ.get("TDNET_STEM_BWD", "kernel"),
                 mesh=None if single_device else mesh,
             )

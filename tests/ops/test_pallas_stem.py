@@ -173,3 +173,39 @@ def test_stem_input_model_matches_full_model():
             np.asarray(got[key]), np.asarray(want[key]),
             rtol=2e-4, atol=2e-3,
         )
+
+
+def test_resolve_tm_never_picks_odd_multiblock():
+    # Mosaic requires the window row offset 4*tm*mi to be 8-sublane
+    # aligned: an odd tm with more than one grid step is a hard TPU
+    # compile error (verified on v5e: h=24 resolved 4 -> 3 under the old
+    # "largest divisor" rule and aborted in Mosaic). Odd tm is legal only
+    # single-block (tm == H/4, offset always 0).
+    from tdnet.ops.pallas_stem import _resolve_tm, supports_shape
+
+    assert _resolve_tm(24, 4) == 2      # not 3: 6 % 3 == 0 but odd
+    assert _resolve_tm(32, 4) == 4
+    assert _resolve_tm(16, 4) == 4
+    assert _resolve_tm(8, 4) == 2
+    assert _resolve_tm(800, 4) == 4
+    # supports_shape gates out H % 8 != 0 (odd H/4 has no even divisor)
+    assert not supports_shape((1, 20, 64, 3))
+    assert not supports_shape((1, 28, 64, 3))
+    assert supports_shape((1, 24, 64, 3))
+
+
+def test_h24_tm4_regression_matches_reference():
+    # the exact shape/tm combination that failed to compile under the old
+    # _resolve_tm rule; assert the resolved kernel still computes the stem
+    from tdnet.ops.pallas_stem import fused_stem_packed
+    from tdnet.ops.stem_vjp import stem_reference_packed
+
+    kernel7, scale, bias, mean, var, inv, off = _params(seed=3)
+    x8 = np.random.RandomState(4).randint(0, 256, (2, 24, 64 * 3), np.uint8)
+    got = fused_stem_packed(jnp.asarray(x8), kernel7, inv, off,
+                            normalize="caffe", out_dtype=jnp.float32,
+                            interpret=True, tm=4)
+    want = stem_reference_packed(jnp.asarray(x8), kernel7, inv, off,
+                                 "caffe", jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)

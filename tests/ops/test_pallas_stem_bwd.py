@@ -1,7 +1,9 @@
 """Backward fused-stem Pallas kernel (ops/pallas_stem.fused_stem_bwd_packed)
 vs the jax.vjp of the XLA reference composition — including tie-heavy
 constant inputs that exercise the maxpool first-match routing order.
-Interpret mode, f32."""
+Interpret mode, f32 (where the two are equivalent; the bf16 case, where
+each backward follows its own forward's rounding, is covered by
+tests/ops/test_stem_vjp.py::test_bf16_kernel_backward_matches_true_gradient_oracle)."""
 
 import jax
 import jax.numpy as jnp

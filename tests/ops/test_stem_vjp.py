@@ -168,3 +168,80 @@ def test_train_step_fused_matches_unfused():
             np.asarray(leaf), np.asarray(flat_p[path]), rtol=5e-3, atol=1e-5,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_bwd_kernel_requires_normalize_for_uint8():
+    # forward/backward validation symmetry: without this guard the backward
+    # would astype raw bytes (no mean subtraction) and return finite but
+    # WRONG gradients
+    from tdnet.ops.pallas_stem import fused_stem_bwd_packed
+
+    k7, inv, off = _params()
+    packed, _ = _packed()
+    dy = jnp.zeros((2, 8, 16, 16), jnp.float32)
+    with pytest.raises(TypeError, match="requires a normalize mode"):
+        fused_stem_bwd_packed(packed, k7, inv, off, dy, normalize=None,
+                              interpret=True)
+
+
+def _bf16_oracle(x8, k, i, o):
+    """True-gradient oracle for the Pallas forward's bf16 numerics:
+    bf16-grid operands in f32 arithmetic (bf16 products are exact in f32,
+    accumulation f32 — MXU semantics), BN+ReLU in f32, ROUND to bf16
+    before the pool (the forward casts before its max chain)."""
+    from tdnet.ops.pallas_ingest import normalize_uint8_rows
+
+    b, h, w3 = x8.shape
+    x = normalize_uint8_rows(x8.reshape(b * h, w3), mode="caffe",
+                             out_dtype=jnp.bfloat16
+                             ).reshape(b, h, w3 // 3, 3).astype(jnp.float32)
+    kq = k.astype(jnp.bfloat16).astype(jnp.float32)
+    z = jax.lax.conv_general_dilated(
+        x, kq, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    a = nn.relu(z * i + o).astype(jnp.bfloat16)
+    return nn.max_pool(a, (3, 3), strides=(2, 2), padding="SAME")
+
+
+def test_bf16_kernel_backward_matches_true_gradient_oracle():
+    """In bf16 the all-Pallas backward routes the pool gradient on the
+    SAME bf16-rounded values the Pallas forward pooled — near the true
+    gradient of the actual forward (residual: cotangent accumulation
+    dtype). kernel-vs-REMAT differs more (each backward follows its own
+    forward's bf16 rounding; remat's conv accumulates differently) —
+    asserted loosely to document the inherent delta. Measured baselines
+    (CPU interpret AND real v5e agree): kernel-vs-oracle rel_fro <= 1.1%,
+    kernel-vs-remat dk ~5%; before the routing fix kernel-vs-remat dk was
+    ~18% max-element."""
+    k7, inv, off = _params()
+    packed, _ = _packed()
+    n = 2 * 8 * 16 * k7.shape[-1]
+    cot = jnp.asarray(
+        np.cos(np.arange(n)).reshape(2, 8, 16, k7.shape[-1]), jnp.float32)
+
+    def loss(fn):
+        def f(k, i, o):
+            return jnp.sum(fn(k, i, o).astype(jnp.float32) * cot)
+        return jax.grad(f, argnums=(0, 1, 2))(k7, inv, off)
+
+    g_kernel = loss(lambda k, i, o: fused_stem_train(
+        packed, k, i, o, normalize="caffe", out_dtype=jnp.bfloat16,
+        backward="kernel"))
+    g_oracle = loss(lambda k, i, o: _bf16_oracle(packed, k, i, o))
+    g_remat = loss(lambda k, i, o: fused_stem_train(
+        packed, k, i, o, normalize="caffe", out_dtype=jnp.bfloat16,
+        backward="remat"))
+
+    for name, a, b, tol in zip(
+        ("dk", "dinv", "doff"), g_kernel, g_oracle, (0.03, 0.03, 0.04)
+    ):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+        assert rel < tol, f"{name} kernel-vs-oracle rel_fro {rel}"
+    for name, a, b in zip(("dk", "dinv", "doff"), g_kernel, g_remat):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+        assert rel < 0.15, f"{name} kernel-vs-remat rel_fro {rel}"

@@ -154,3 +154,31 @@ def test_prefetch_packs_uint8_batches():
     # float batches pass through untouched
     bf = {"images": np.zeros((2, 8, 12, 3), np.float32)}
     assert _pack_uint8_images(bf)["images"].shape == (2, 8, 12, 3)
+
+
+def test_fused_stem_falls_through_on_unsupported_shape():
+    # H % 8 != 0 is outside the fused-stem kernel's support; the fused
+    # branch must FALL THROUGH to Pallas-normalize + XLA stem instead of
+    # raising at trace time (regression: the old branch condition only
+    # checked dtype/ndim)
+    import optax
+
+    from tdnet.models.retinanet import RetinaNet
+    from tdnet.train.step import create_train_state, make_train_step
+
+    b, h, w = 2, 36, 64
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, h, w, 3), tx=optax.sgd(1e-2))
+    raw = np.random.RandomState(1).randint(0, 256, (b, h, w, 3), np.uint8)
+    batch = {
+        "images": raw.reshape(b, h, w * 3),
+        "gt_boxes": np.tile(np.array([[4.0, 4.0, 30.0, 24.0]], np.float32),
+                            (b, 2, 1)),
+        "gt_labels": np.zeros((b, 2), np.int32),
+        "gt_mask": np.tile(np.array([True, False]), (b, 1)),
+        "image_hw": np.tile(np.array([h, w], np.float32), (b, 1)),
+    }
+    step = make_train_step(model, num_classes=1, fused_stem=True)
+    _, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -69,15 +69,14 @@ def main() -> int:
         }
         from tdnet.data.image import CAFFE_MEAN_BGR
 
+        packed_u8 = jnp.asarray(raw.reshape(batch, bucket[0], bucket[1] * 3))
         forms = {
             "f32": jnp.asarray(
                 raw.astype(np.float32) - np.asarray(CAFFE_MEAN_BGR, np.float32)),
-            "u8-xla-stem": jnp.asarray(
-                raw.reshape(batch, bucket[0], bucket[1] * 3)),
-            "u8-fused-stem": jnp.asarray(
-                raw.reshape(batch, bucket[0], bucket[1] * 3)),
-            "u8-fused-stem-kbwd": jnp.asarray(
-                raw.reshape(batch, bucket[0], bucket[1] * 3)),
+            # the three uint8 regimes share ONE host array / device buffer
+            "u8-xla-stem": packed_u8,
+            "u8-fused-stem": packed_u8,
+            "u8-fused-stem-kbwd": packed_u8,
         }
         for regime in regimes:
             os.environ["TDNET_STEM_BWD"] = (
