@@ -120,6 +120,13 @@ def parse_args(argv=None):
                         help="host decode/augment threads per batch "
                              "(reference: fit_generator workers=N; <=1 is "
                              "synchronous inside the prefetch thread)")
+    parser.add_argument("--spatial", default=1, type=int, metavar="S",
+                        help="GSPMD spatial partitioning: shard the image H "
+                             "axis over S devices of a 2-D (data, spatial) "
+                             "mesh (parallel/spatial.py). Divides per-chip "
+                             "activation memory and single-image latency by "
+                             "~S; S must divide the device count. 1 = plain "
+                             "data parallelism")
     parser.add_argument("--distributed", default=None, type=str,
                         metavar="COORD:PORT,NPROC,RANK",
                         help="multi-host bring-up, e.g. 10.0.0.1:1234,4,0 — "
@@ -182,14 +189,28 @@ def main(argv=None) -> int:
         args.steps = loader.steps_per_epoch()
         print(f"--steps 0: using one dataset pass = {args.steps} steps/epoch")
 
-    mesh = create_mesh()
+    if args.spatial > 1:
+        # 2-D (data, spatial) mesh: H sharded over 'spatial', batch over
+        # 'data'; the model's NHWC activations are pinned to the mesh
+        from tdnet.parallel.spatial import (activation_sharding,
+                                            create_spatial_mesh)
+
+        try:
+            mesh = create_spatial_mesh(args.spatial)
+        except ValueError as e:
+            raise SystemExit(f"--spatial: {e}")
+        model = model.clone(activation_sharding=activation_sharding(mesh))
+    else:
+        mesh = create_mesh()
     global_batch = args.batch_size * jax.process_count()
     n_dev = len(mesh.devices.flat)
-    if global_batch % n_dev != 0 and n_dev > 1:
-        if jax.process_count() > 1:
+    n_data = int(mesh.shape.get("data", n_dev))
+    if global_batch % n_data != 0 and n_data > 1:
+        if jax.process_count() > 1 or args.spatial > 1:
             raise SystemExit(
                 f"global batch {global_batch} (= {args.batch_size}/host x "
-                f"{jax.process_count()} hosts) must divide {n_dev} devices"
+                f"{jax.process_count()} hosts) must divide the data mesh "
+                f"axis ({n_data} of {n_dev} devices)"
             )
         print(
             f"warning: batch size {args.batch_size} not divisible by "
@@ -304,7 +325,17 @@ def main(argv=None) -> int:
             )
             return {"mAP": mAP, "weighted_mAP": weighted}
 
-    batches = prefetch_to_device(loader.forever(), batch_sharding(mesh))
+    if args.spatial > 1:
+        import functools
+
+        from tdnet.parallel.spatial import batch_shardings
+
+        # factory keyed on each batch's own keys (images spatially
+        # sharded, per-sample arrays batch-sharded)
+        shardings = functools.partial(batch_shardings, mesh=mesh)
+    else:
+        shardings = batch_sharding(mesh)
+    batches = prefetch_to_device(loader.forever(), shardings)
 
     try:
         state = fit(

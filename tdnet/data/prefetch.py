@@ -61,10 +61,14 @@ class DevicePrefetcher:
                         return
                     batch = _pack_uint8_images(batch)
                     if sharding is not None:
-                        # multi-host aware: local shard -> global array
+                        # multi-host aware: local shard -> global array.
+                        # A callable sharding is a factory evaluated on
+                        # each batch (e.g. parallel/spatial.batch_shardings
+                        # keyed on the batch's own keys).
                         from tdnet.parallel.mesh import make_global_batch
 
-                        batch = make_global_batch(batch, sharding)
+                        s = sharding(batch) if callable(sharding) else sharding
+                        batch = make_global_batch(batch, s)
                     else:
                         batch = jax.device_put(batch)
                     # bounded put that notices close()

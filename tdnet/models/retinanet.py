@@ -159,14 +159,36 @@ class RetinaNet(nn.Module):
     # inference tail upcasts only the K candidates (the f32 cast of a bf16
     # value is exact, so results are bit-identical; saves the ~0.5 GB/step
     # boundary cast at batch 128 plus half the top-k/gather traffic)
+    activation_sharding: Any = None  # optional NamedSharding pinning NHWC
+    # activations (backbone taps + pyramid features) to a mesh, e.g.
+    # P('data', 'spatial') for GSPMD spatial partitioning
+    # (parallel/spatial.py). None (default) leaves placement to the
+    # partitioner's propagation — a no-op single-device.
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         c3, c4, c5 = _build_backbone(
             self.backbone_name, self.dtype, self.freeze_bn, self.stem_input
         )(images)
+        if self.activation_sharding is not None:
+            # pin taps + features so the conv trunk stays spatially sharded
+            # end-to-end (GSPMD would otherwise be free to all-gather after
+            # any op); the head flatten below is the designed gather point.
+            # Only under a trace: inside jit GSPMD pads uneven H shards
+            # (P7 can be 1 row over 4 devices), but an EAGER
+            # with_sharding_constraint (e.g. model.init in
+            # create_train_state) is a strict reshard that rejects uneven
+            # dims — and eager init has no partitioner to guide anyway.
+            import jax
+
+            cons = lambda t: (
+                jax.lax.with_sharding_constraint(t, self.activation_sharding)
+                if isinstance(t, jax.core.Tracer) else t)
+            c3, c4, c5 = cons(c3), cons(c4), cons(c5)
 
         features = FPN(self.feature_size, dtype=self.dtype, name="fpn")(c3, c4, c5)
+        if self.activation_sharding is not None:
+            features = tuple(cons(f) for f in features)
 
         reg_subnet = RegressionSubnet(
             out_channels=self.num_anchors * 4,

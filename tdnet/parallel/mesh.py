@@ -8,9 +8,12 @@ ICI. Centralizing the shardings here means single-chip, a v5e pod slice, and
 multi-host DCN (jax.distributed.initialize + the same NamedShardings) are
 the same code path (SURVEY.md §6 "Distributed comm backend").
 
-A ResNet-50 detector does not warrant tensor/pipeline parallelism — activation memory
-and weights fit comfortably per chip; scaling is by batch. This gap is
-deliberate (SURVEY.md §6 "Long-context / sequence parallelism": n/a).
+A ResNet-50 detector does not warrant tensor/pipeline parallelism — weights
+and optimizer state fit comfortably per chip; scaling is by batch. The
+sequence-parallel analog — sharding the 800x1344 activation plane itself —
+IS provided for latency/memory-bound deployments: parallel/spatial.py adds
+a 2-D (data, spatial) mesh with the image H axis partitioned under GSPMD
+halo exchange (train `--spatial S`).
 """
 
 from __future__ import annotations
@@ -82,9 +85,12 @@ def make_global_batch(batch, sharding) -> dict:
     multi-host DCN deployment (SURVEY.md §2.4/§6)."""
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
+    if isinstance(sharding, jax.sharding.Sharding):
+        sharding = jax.tree_util.tree_map(lambda _: sharding, batch)
     return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
         batch,
+        sharding,
     )
 
 

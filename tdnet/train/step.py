@@ -177,11 +177,19 @@ def make_train_step(
 
     def _pallas_ok(images):
         # the Pallas ops are legal single-device, or under shard_map on a
-        # mesh whose data axis divides the batch — never in a plain
-        # auto-partitioned multi-device graph (opaque to GSPMD)
+        # 1-D data mesh whose axis divides the batch — never in a plain
+        # auto-partitioned multi-device graph (opaque to GSPMD), and never
+        # under a 2-D (data, spatial) mesh (parallel/spatial.py): the
+        # shard_map wrappers split only the batch axis, so a spatially
+        # sharded input would be gathered and recomputed per spatial shard.
+        # The jnp fallbacks below are sharded by GSPMD like any other op.
         if single_device:
             return True
-        return mesh is not None and images.shape[0] % mesh.size == 0
+        return (
+            mesh is not None
+            and tuple(mesh.axis_names) == ("data",)
+            and images.shape[0] % mesh.size == 0
+        )
 
     def _stem_shape_ok(images):
         # the fused-stem kernel supports H % 8 == 0, W % 4 == 0 (every
