@@ -154,15 +154,19 @@ def normalize_uint8_packed_sharded(
     mesh=None,
     axis: str = "data",
 ) -> jnp.ndarray:
-    """Batch-sharded form of the rows kernel for multi-device graphs:
+    """Mesh-sharded form of the rows kernel for multi-device graphs:
     (B, H, W3) packed uint8 -> normalized (B, H, W3//3, 3).
 
     pallas_call is opaque to the GSPMD partitioner, so the plain kernel
     cannot appear in an auto-partitioned graph (it would gather the
     batch-sharded array). Under shard_map each device normalizes its local
-    batch shard instead — the elementwise op needs no collective. The
-    batch must divide evenly over the mesh axis (callers fall back to the
-    jnp normalize otherwise — train/step.py)."""
+    shard instead — the elementwise op needs no collective. Supported
+    meshes: a 1-D ('data',) mesh (batch sharded) and the 2-D
+    ('data', 'spatial') mesh of parallel/spatial.py (batch AND image-H
+    sharded — normalization is per-pixel, and the channel mean pattern
+    repeats within a ROW, so splitting H changes nothing). The sharded
+    dims must divide evenly over their axes (shard_map is exact-division;
+    callers fall back to the jnp normalize otherwise — train/step.py)."""
     from jax.sharding import PartitionSpec as P
 
     b, h, w3 = packed.shape
@@ -170,19 +174,34 @@ def normalize_uint8_packed_sharded(
         out = normalize_uint8_rows(
             packed.reshape(b * h, w3), mode=mode, out_dtype=out_dtype)
         return out.reshape(b, h, w3 // 3, 3)
-    if b % mesh.size:
+    names = tuple(mesh.axis_names)
+    if names == (axis,):
+        if b % mesh.size:
+            raise ValueError(
+                f"batch {b} does not divide over mesh axis {axis!r} "
+                f"({mesh.size} devices)")
+        spec = P(axis)
+    elif names == (axis, "spatial"):
+        nd = int(mesh.shape[axis])
+        ns = int(mesh.shape["spatial"])
+        if b % nd or h % ns:
+            raise ValueError(
+                f"(batch {b}, H {h}) does not divide over the "
+                f"({axis}={nd}, spatial={ns}) mesh")
+        spec = P(axis, "spatial")
+    else:
         raise ValueError(
-            f"batch {b} does not divide over mesh axis {axis!r} "
-            f"({mesh.size} devices)")
+            f"unsupported mesh axes {names} (expected ({axis!r},) or "
+            f"({axis!r}, 'spatial'))")
 
     def body(p):
-        lb = p.shape[0]
+        lb, lh, _ = p.shape
         out = normalize_uint8_rows(
-            p.reshape(lb * h, w3), mode=mode, out_dtype=out_dtype)
-        return out.reshape(lb, h, w3 // 3, 3)
+            p.reshape(lb * lh, w3), mode=mode, out_dtype=out_dtype)
+        return out.reshape(lb, lh, w3 // 3, 3)
 
     return jax.shard_map(
-        body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+        body, mesh=mesh, in_specs=spec, out_specs=spec,
         check_vma=False,
     )(packed)
 

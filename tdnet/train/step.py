@@ -191,6 +191,26 @@ def make_train_step(
             and images.shape[0] % mesh.size == 0
         )
 
+    def _ingest_mesh_ok(images):
+        # the normalize kernel is ELEMENTWISE, so unlike the fused stem its
+        # shard_map wrapper also supports the 2-D (data, spatial) mesh
+        # (parallel/spatial.py): batch over 'data', packed-row H over
+        # 'spatial' — no halo needed. Exact division required (shard_map).
+        if single_device:
+            return True
+        if mesh is None:
+            return False
+        names = tuple(mesh.axis_names)
+        if names == ("data",):
+            return images.shape[0] % mesh.size == 0
+        if names == ("data", "spatial"):
+            return (
+                images.ndim == 3
+                and images.shape[0] % int(mesh.shape["data"]) == 0
+                and images.shape[1] % int(mesh.shape["spatial"]) == 0
+            )
+        return False
+
     def _stem_shape_ok(images):
         # the fused-stem kernel supports H % 8 == 0, W % 4 == 0 (every
         # default bucket); anything else must FALL THROUGH to the Pallas
@@ -252,9 +272,10 @@ def make_train_step(
                     images.reshape(b * h, w3), preprocess_mode,
                     out_dtype=getattr(model, "dtype", None) or jnp.float32,
                 ).reshape(b, h, w3 // 3, 3)
-            elif _pallas_ok(images):
-                # multi-device with a known mesh: the rows kernel runs per
-                # shard under shard_map (ops/pallas_ingest.py)
+            elif _ingest_mesh_ok(images):
+                # multi-device with a known mesh (1-D data OR 2-D
+                # data×spatial): the rows kernel runs per shard under
+                # shard_map (ops/pallas_ingest.py)
                 from tdnet.ops.pallas_ingest import \
                     normalize_uint8_packed_sharded
 

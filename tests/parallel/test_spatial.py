@@ -135,9 +135,10 @@ def _train_batch(b, h, w, packed=False, seed=2):
 def test_train_step_equivalence(packed):
     """One full train step (targets + losses + backward + Adam) under the
     spatial mesh matches the single-device step: loss and updated params.
-    packed=True drives the (B, H, W*3) uint8 boundary through the jnp
-    normalize fallback (the Pallas shard_map wrappers are 1-D-mesh-only —
-    train/step.py _pallas_ok)."""
+    packed=True drives the (B, H, W*3) uint8 boundary through the
+    shard_map'd Pallas normalize (elementwise — legal on the 2-D mesh;
+    train/step.py _ingest_mesh_ok). The fused STEM stays 1-D-mesh-only
+    (conv/pool need halos) and falls back to the XLA stem here."""
     from tdnet.train.step import create_train_state, make_train_step
 
     mesh = create_spatial_mesh(4)
@@ -178,6 +179,34 @@ def test_train_step_equivalence(packed):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=0, atol=1e-4
         )
+
+
+def test_packed_uint8_normalize_on_spatial_mesh():
+    """normalize_uint8_packed_sharded on the 2-D (data, spatial) mesh:
+    per-shard Pallas rows kernel (batch AND H sharded), equal to the
+    single-device kernel output; non-dividing H rejected loudly."""
+    from tdnet.ops.pallas_ingest import normalize_uint8_packed_sharded
+
+    mesh = create_spatial_mesh(4)
+    b, h, w = mesh.shape["data"], 64, 64
+    raw = np.random.RandomState(3).randint(0, 256, (b, h, w * 3), np.uint8)
+
+    ref = np.asarray(jax.jit(
+        lambda p: normalize_uint8_packed_sharded(p, "caffe")
+    )(jax.device_put(raw, jax.devices()[0])))
+
+    packed = jax.device_put(raw, image_sharding(mesh))
+    out = jax.jit(
+        lambda p: normalize_uint8_packed_sharded(p, "caffe", mesh=mesh)
+    )(packed)
+    assert out.shape == (b, h, w, 3)
+    np.testing.assert_array_equal(ref, np.asarray(out))
+
+    # non-dividing H rejected loudly (unplaced input: device_put with the
+    # spatial sharding would itself reject the shape before our check)
+    with pytest.raises(ValueError, match="does not divide"):
+        normalize_uint8_packed_sharded(
+            jnp.asarray(raw[:, :62]), "caffe", mesh=mesh)
 
 
 def test_spatial_one_degenerates_to_data_mesh():
