@@ -48,6 +48,7 @@ setup(
             "tdnet-predict=tdnet.bin.predict:main",
             "tdnet-export-keras=tdnet.bin.export_keras:main",
             "tdnet-csv-from-xml=tdnet.bin.csv_from_xml:main",
+            "tdnet-serve=tdnet.bin.serve:main",
             # reference-compatible aliases (keras-retinanet console scripts)
             "retinanet-train=tdnet.bin.train:main",
             "retinanet-evaluate=tdnet.bin.evaluate:main",

@@ -1,0 +1,381 @@
+"""Batch inference server: a deployable serving front-end for a .tdn model.
+
+The reference stops at batch scripts (bin/evaluate.py / the fork's predict
+script — SURVEY.md §2.2); tdnet is built for production deployment, so this
+CLI turns the Predictor into a long-running HTTP service with the piece
+that actually matters for TPU serving economics: **dynamic micro-batching**.
+Concurrent requests are coalesced into one device dispatch (up to
+--max-batch images or --max-delay-ms of queueing, whichever first), so the
+chip sees the large batches it needs to hit its measured throughput
+(bench.py: 273 img/s at batch 128 vs ~30 img/s unbatched single-image
+dispatches) while each request still gets its own response.
+
+    tdnet-serve model.tdn --port 8000 --max-batch 16 --max-delay-ms 5
+
+Endpoints:
+    GET  /healthz        -> {"status": "ok", "model": ..., "device": ...}
+    GET  /stats          -> request/batch counters + latency quantiles
+    POST /v1/detect      -> body: an encoded image (PNG/JPEG/anything
+                            cv2.imdecode reads, BGR like the rest of the
+                            pipeline) or a raw .npy array (send
+                            Content-Type: application/x-npy).
+                            Optional ?threshold=0.5 report filter.
+                            Returns {"detections": [{"box": [x1,y1,x2,y2],
+                            "score": s, "label": i, "name": ...}, ...],
+                            "time_ms": t, "batch_size": n} in ORIGINAL
+                            image coordinates (the host-side boxes/=scale
+                            contract, SURVEY.md §4.2).
+
+All device work stays on the Predictor's bucketed jit pipelines (compile
+once per shape bucket, then steady-state serving); the batcher thread is
+the only writer to the device queue, so responses are deterministic for a
+given request set regardless of arrival interleaving.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+__all__ = ["MicroBatcher", "build_server", "main"]
+
+
+class _Pending:
+    __slots__ = ("image", "event", "result", "error", "t0")
+
+    def __init__(self, image):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.t0 = time.monotonic()
+
+
+class MicroBatcher:
+    """Coalesce concurrent predict requests into predict_batch calls.
+
+    One worker thread owns the predictor: it blocks on the first queued
+    request, then drains the queue until --max-batch images are in hand or
+    --max-delay-ms has passed since the first, and runs ONE
+    Predictor.predict_batch over the lot. Per-request latency therefore
+    trades at most `max_delay_ms` of queueing for a device dispatch that is
+    up to max_batch times cheaper per image.
+    """
+
+    def __init__(self, predictor, max_batch: int = 16,
+                 max_delay_ms: float = 5.0):
+        self.predictor = predictor
+        self.max_batch = max(1, int(max_batch))
+        self.max_delay = max(0.0, float(max_delay_ms)) / 1000.0
+        self._queue: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.batches = 0
+        self.images = 0
+        self.errors = 0
+        self._latencies = collections.deque(maxlen=2048)
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._run, name="tdnet-batcher", daemon=True)
+        self._thread.start()
+
+    def submit(self, image_bgr: np.ndarray):
+        """Blocking predict: returns (boxes, scores, labels) in original
+        image coordinates. Raises whatever the predictor raised."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        p = _Pending(image_bgr)
+        with self._lock:
+            self.requests += 1
+        self._queue.put(p)
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        with self._lock:
+            self._latencies.append(time.monotonic() - p.t0)
+        return p.result
+
+    def _drain(self, first: _Pending):
+        batch = [first]
+        deadline = time.monotonic() + self.max_delay
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:  # close sentinel: stop draining, flag shutdown
+                self._closed = True
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._closed = True
+                return
+            batch = self._drain(item)
+            try:
+                results = self.predictor.predict_batch(
+                    [p.image for p in batch])
+            except Exception as exc:  # propagate to every waiter
+                with self._lock:
+                    self.errors += len(batch)
+                for p in batch:
+                    p.error = exc
+                    p.event.set()
+                continue
+            with self._lock:
+                self.batches += 1
+                self.images += len(batch)
+            for p, r in zip(batch, results):
+                p.result = r
+                p.event.set()
+            if self._closed:
+                return
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            q = lambda f: (
+                round(lat[min(len(lat) - 1, int(f * len(lat)))] * 1000, 2)
+                if lat else None
+            )
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "images": self.images,
+                "errors": self.errors,
+                "mean_batch_size": (
+                    round(self.images / self.batches, 2) if self.batches else None
+                ),
+                "latency_ms": {"p50": q(0.50), "p90": q(0.90), "p99": q(0.99)},
+            }
+
+    def close(self):
+        self._closed = True
+        self._queue.put(None)
+        self._thread.join(timeout=5.0)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # served under ThreadingHTTPServer: one thread per connection blocks in
+    # batcher.submit while the worker thread runs the coalesced dispatch
+    protocol_version = "HTTP/1.1"
+
+    def _send_json(self, payload: dict, status: int = 200):
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet by default; /stats has data
+        if self.server.verbose:  # type: ignore[attr-defined]
+            super().log_message(fmt, *args)
+
+    def do_GET(self):
+        srv = self.server
+        if self.path.startswith("/healthz"):
+            self._send_json({"status": "ok", "model": srv.model_name,
+                             "device": srv.device_kind})
+        elif self.path.startswith("/stats"):
+            self._send_json(srv.batcher.stats())
+        else:
+            self._send_json({"error": f"unknown path {self.path}"}, 404)
+
+    def do_POST(self):
+        srv = self.server
+        if not self.path.startswith("/v1/detect"):
+            self._send_json({"error": f"unknown path {self.path}"}, 404)
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            raw = self.rfile.read(length)
+            ctype = (self.headers.get("Content-Type") or "").lower()
+            if "x-npy" in ctype or raw[:6] == b"\x93NUMPY":
+                import io
+
+                image = np.load(io.BytesIO(raw), allow_pickle=False)
+                image = np.asarray(image, np.float32)
+                if image.ndim != 3 or image.shape[2] != 3:
+                    raise ValueError(
+                        f"npy image must be (H, W, 3) BGR, got {image.shape}")
+            else:
+                import cv2
+
+                buf = np.frombuffer(raw, np.uint8)
+                decoded = cv2.imdecode(buf, cv2.IMREAD_COLOR)  # BGR
+                if decoded is None:
+                    raise ValueError("could not decode image body")
+                image = decoded.astype(np.float32)
+        except Exception as exc:
+            self._send_json({"error": f"bad request: {exc}"}, 400)
+            return
+
+        threshold = srv.default_threshold
+        if "?" in self.path:
+            from urllib.parse import parse_qs, urlsplit
+
+            qs = parse_qs(urlsplit(self.path).query)
+            if "threshold" in qs:
+                try:
+                    threshold = float(qs["threshold"][0])
+                except ValueError:
+                    self._send_json({"error": "bad threshold"}, 400)
+                    return
+
+        t0 = time.monotonic()
+        try:
+            boxes, scores, labels = srv.batcher.submit(image)
+        except Exception as exc:
+            self._send_json({"error": f"inference failed: {exc}"}, 500)
+            return
+        kept = np.where(scores > threshold)[0]
+        dets = []
+        for i in kept:
+            d = {
+                "box": [round(float(v), 2) for v in boxes[i]],
+                "score": round(float(scores[i]), 4),
+                "label": int(labels[i]),
+            }
+            if srv.label_names is not None:
+                d["name"] = srv.label_names.get(int(labels[i]), str(labels[i]))
+            dets.append(d)
+        self._send_json({
+            "detections": dets,
+            "time_ms": round((time.monotonic() - t0) * 1000, 2),
+            "image_hw": [int(image.shape[0]), int(image.shape[1])],
+        })
+
+
+def build_server(predictor, host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 16, max_delay_ms: float = 5.0,
+                 label_names=None, default_threshold: float = 0.05,
+                 model_name: str = "tdnet", verbose: bool = False):
+    """Construct (ThreadingHTTPServer, MicroBatcher) without blocking.
+
+    Separated from main() so tests can run the server on an ephemeral port
+    in-process; call httpd.serve_forever() (e.g. in a thread), and
+    httpd.shutdown() + batcher.close() to stop.
+    """
+    import jax
+
+    batcher = MicroBatcher(predictor, max_batch=max_batch,
+                           max_delay_ms=max_delay_ms)
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    httpd.batcher = batcher
+    httpd.label_names = label_names
+    httpd.default_threshold = default_threshold
+    httpd.model_name = model_name
+    httpd.device_kind = jax.devices()[0].device_kind
+    httpd.verbose = verbose
+    return httpd, batcher
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Serve a tdnet model over HTTP with dynamic batching.")
+    parser.add_argument("model", help=".tdn model bundle")
+    parser.add_argument("--host", default="127.0.0.1", type=str)
+    parser.add_argument("--port", default=8000, type=int)
+    parser.add_argument("--max-batch", default=16, type=int,
+                        help="largest coalesced device batch")
+    parser.add_argument("--max-delay-ms", default=5.0, type=float,
+                        help="longest a request waits for batch-mates")
+    parser.add_argument("--score-threshold", default=0.05, type=float,
+                        help="default report threshold (per-request "
+                             "override: ?threshold=)")
+    parser.add_argument("--labels", default=None, type=str,
+                        help="optional classes.csv for label names")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--device-normalize", action="store_true",
+                        help="ship uint8 + normalize on device (4x less "
+                             "transfer; enables the fused-stem kernel on "
+                             "TPU ResNets)")
+    parser.add_argument("--no-pallas", dest="use_pallas",
+                        action="store_false", default=None)
+    parser.add_argument("--pre-nms-top-k", default=1024, type=int)
+    parser.add_argument("--soft-nms-sigma", default=None, type=float)
+    parser.add_argument("--eval-batch-size", dest="predict_batch_size",
+                        default=None, type=int,
+                        help="Predictor sub-batch size (default: TPU 16)")
+    parser.add_argument("--verbose", action="store_true",
+                        help="per-request access log")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    import jax.numpy as jnp
+
+    from tdnet.models.io import anchor_params_from_meta, load_model
+    from tdnet.train.predictor import Predictor
+
+    args = parse_args(argv)
+    model, variables, meta = load_model(
+        args.model, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    inference = meta.get("inference", {})
+    predictor = Predictor(
+        model,
+        variables,
+        anchor_params=anchor_params_from_meta(meta),
+        min_side=inference.get("min_side", 800),
+        max_side=inference.get("max_side", 1333),
+        preprocess_mode=inference.get("preprocess_mode", "caffe"),
+        score_threshold=inference.get("score_threshold", 0.05),
+        nms_threshold=inference.get("nms_threshold", 0.5),
+        nms=inference.get("nms", True),
+        class_specific_filter=inference.get("class_specific_filter", True),
+        max_detections=inference.get("max_detections", 300),
+        use_pallas=args.use_pallas,
+        pre_nms_top_k=args.pre_nms_top_k,
+        soft_nms_sigma=(
+            args.soft_nms_sigma if args.soft_nms_sigma is not None
+            else inference.get("soft_nms_sigma", 0.0)
+        ),
+        device_preprocess=args.device_normalize,
+        batch_size=args.predict_batch_size,
+    )
+
+    label_names = None
+    if args.labels:
+        import csv
+
+        from tdnet.data.csv_dataset import read_classes
+
+        with open(args.labels, newline="") as f:
+            classes = read_classes(csv.reader(f))
+        label_names = {v: k for k, v in classes.items()}
+
+    httpd, batcher = build_server(
+        predictor, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+        label_names=label_names, default_threshold=args.score_threshold,
+        model_name=args.model, verbose=args.verbose)
+    print(f"tdnet-serve: {args.model} on http://{args.host}:"
+          f"{httpd.server_address[1]} (max_batch={args.max_batch}, "
+          f"max_delay={args.max_delay_ms}ms)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        batcher.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,132 @@
+"""tdnet-serve: HTTP batch-inference server (micro-batching front-end)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served():
+    """A tiny live server on an ephemeral port + its direct Predictor."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdnet.bin.serve import build_server
+    from tdnet.models.retinanet import RetinaNet
+    from tdnet.train.predictor import Predictor
+
+    model = RetinaNet(num_classes=2, dtype=jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    predictor = Predictor(
+        model, variables, min_side=64, max_side=64, buckets=[(64, 64)],
+        score_threshold=0.01, pre_nms_top_k=64, max_detections=10,
+        use_pallas=False, batch_size=4,
+    )
+    httpd, batcher = build_server(
+        predictor, port=0, max_batch=4, max_delay_ms=150.0,
+        label_names={0: "table", 1: "figure"}, default_threshold=0.01)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, predictor, batcher
+    httpd.shutdown()
+    batcher.close()
+
+
+def _post_npy(base, image, path="/v1/detect"):
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, image)
+    req = urllib.request.Request(
+        base + path, data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npy"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_healthz_and_stats(served):
+    base, _, _ = served
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert {"requests", "batches", "images", "latency_ms"} <= set(s)
+
+
+def test_detect_matches_direct_predictor(served):
+    base, predictor, _ = served
+    rng = np.random.RandomState(0)
+    image = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+
+    resp = _post_npy(base, image)
+    boxes, scores, labels = predictor(image)
+    kept = np.where(scores > 0.01)[0]
+    assert len(resp["detections"]) == len(kept)
+    for det, i in zip(resp["detections"], kept):
+        np.testing.assert_allclose(det["box"], boxes[i], atol=0.01)
+        assert det["score"] == pytest.approx(float(scores[i]), abs=1e-3)
+        assert det["label"] == int(labels[i])
+        assert det["name"] in ("table", "figure")
+
+
+def test_threshold_query_param(served):
+    base, _, _ = served
+    image = np.random.RandomState(1).uniform(
+        0, 255, (64, 64, 3)).astype(np.float32)
+    all_dets = _post_npy(base, image, "/v1/detect?threshold=0.01")
+    none = _post_npy(base, image, "/v1/detect?threshold=0.999")
+    assert len(none["detections"]) <= len(all_dets["detections"])
+    assert all(d["score"] > 0.999 for d in none["detections"])
+
+
+def test_concurrent_requests_are_batched(served):
+    base, predictor, batcher = served
+    rng = np.random.RandomState(2)
+    images = [rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+              for _ in range(8)]
+    direct = predictor.predict_batch(images)
+
+    b0 = batcher.batches
+    results = [None] * len(images)
+
+    def worker(i):
+        results[i] = _post_npy(base, images[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(images))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(r is not None for r in results)
+    # coalescing happened: 8 concurrent requests took < 8 dispatches
+    made = batcher.batches - b0
+    assert 2 <= made < 8
+    # and every response matches the direct batched predictor bit-for-bit
+    for resp, (boxes, scores, labels) in zip(results, direct):
+        kept = np.where(scores > 0.01)[0]
+        assert len(resp["detections"]) == len(kept)
+        for det, i in zip(resp["detections"], kept):
+            np.testing.assert_allclose(det["box"], boxes[i], atol=0.01)
+
+
+def test_bad_requests(served):
+    base, _, _ = served
+    req = urllib.request.Request(
+        base + "/v1/detect", data=b"not an image",
+        headers={"Content-Type": "image/png"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            urllib.request.Request(base + "/nope", data=b""), timeout=30)
+    assert e.value.code == 404
