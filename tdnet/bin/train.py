@@ -127,6 +127,15 @@ def parse_args(argv=None):
                              "activation memory and single-image latency by "
                              "~S; S must divide the device count. 1 = plain "
                              "data parallelism")
+    parser.add_argument("--tensor-parallel", default=1, type=int,
+                        metavar="M",
+                        help="GSPMD tensor (model) parallelism: shard conv "
+                             "output channels (and the matching Adam "
+                             "moments) over M devices of a 2-D (data, "
+                             "model) mesh (parallel/tensor.py). Divides "
+                             "per-chip weight+optimizer memory and per-step "
+                             "conv FLOPs by ~M; M must divide the device "
+                             "count. 1 = plain data parallelism")
     parser.add_argument("--distributed", default=None, type=str,
                         metavar="COORD:PORT,NPROC,RANK",
                         help="multi-host bring-up, e.g. 10.0.0.1:1234,4,0 — "
@@ -200,8 +209,23 @@ def main(argv=None) -> int:
         except ValueError as e:
             raise SystemExit(f"--spatial: {e}")
         model = model.clone(activation_sharding=activation_sharding(mesh))
+    elif args.tensor_parallel > 1:
+        # 2-D (data, model) mesh: conv C_out (+ Adam moments) sharded over
+        # 'model' by placement (parallel/tensor.py shard_state below),
+        # batch over 'data'; GSPMD inserts the channel collectives
+        from tdnet.parallel.tensor import create_tensor_mesh
+
+        try:
+            mesh = create_tensor_mesh(args.tensor_parallel)
+        except ValueError as e:
+            raise SystemExit(f"--tensor-parallel: {e}")
     else:
         mesh = create_mesh()
+    if args.spatial > 1 and args.tensor_parallel > 1:
+        raise SystemExit(
+            "--spatial and --tensor-parallel cannot be combined (pick the "
+            "axis that addresses your bottleneck: activation memory/latency "
+            "-> --spatial, weight+optimizer memory -> --tensor-parallel)")
     global_batch = args.batch_size * jax.process_count()
     n_dev = len(mesh.devices.flat)
     n_data = int(mesh.shape.get("data", n_dev))
@@ -259,7 +283,12 @@ def main(argv=None) -> int:
         )
         state = state.replace(batch_stats=warmed["batch_stats"])
 
-    state = jax.device_put(state, replicated_sharding(mesh))
+    if args.tensor_parallel > 1:
+        from tdnet.parallel.tensor import shard_state
+
+        state = shard_state(state, mesh)
+    else:
+        state = jax.device_put(state, replicated_sharding(mesh))
 
     ckpt = Checkpointer(args.snapshot_path) if args.snapshots else None
     initial_epoch = 0
@@ -303,10 +332,16 @@ def main(argv=None) -> int:
         )
 
         def evaluate_fn(state):
-            predictor.variables = {
+            variables = {
                 "params": state.params,
                 "batch_stats": state.batch_stats,
             }
+            if args.tensor_parallel > 1:
+                # the Predictor's pipeline is single-device; model-sharded
+                # kernels must be assembled on the host first (replicated /
+                # data-sharded params need no copy — any device holds them)
+                variables = jax.device_get(variables)
+            predictor.variables = variables
             if args.coco_evaluation:
                 from tdnet.utils.coco_eval import evaluate_coco
 

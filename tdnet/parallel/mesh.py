@@ -8,12 +8,14 @@ ICI. Centralizing the shardings here means single-chip, a v5e pod slice, and
 multi-host DCN (jax.distributed.initialize + the same NamedShardings) are
 the same code path (SURVEY.md §6 "Distributed comm backend").
 
-A ResNet-50 detector does not warrant tensor/pipeline parallelism — weights
-and optimizer state fit comfortably per chip; scaling is by batch. The
-sequence-parallel analog — sharding the 800x1344 activation plane itself —
-IS provided for latency/memory-bound deployments: parallel/spatial.py adds
-a 2-D (data, spatial) mesh with the image H axis partitioned under GSPMD
-halo exchange (train `--spatial S`).
+A ResNet-50 detector rarely NEEDS more than data parallelism — weights and
+optimizer state fit comfortably per chip; scaling is by batch. Both other
+axes ARE provided for deployments where batch scaling is not the
+bottleneck: parallel/spatial.py shards the 800x1344 activation plane (the
+sequence-parallel analog; 2-D (data, spatial) mesh, GSPMD halo exchange,
+train `--spatial S`), and parallel/tensor.py shards the conv weights'
+output channels plus their Adam moments (Megatron-style column
+parallelism; 2-D (data, model) mesh, train `--tensor-parallel M`).
 """
 
 from __future__ import annotations
