@@ -136,6 +136,13 @@ def parse_args(argv=None):
                              "per-chip weight+optimizer memory and per-step "
                              "conv FLOPs by ~M; M must divide the device "
                              "count. 1 = plain data parallelism")
+    parser.add_argument("--zero", action="store_true",
+                        help="ZeRO-1: shard the Adam moments over the data "
+                             "axis (parallel/zero.py) — per-chip optimizer "
+                             "memory divides by the device count, params "
+                             "stay replicated, numerics identical to plain "
+                             "data parallelism. Not combinable with "
+                             "--spatial/--tensor-parallel")
     parser.add_argument("--distributed", default=None, type=str,
                         metavar="COORD:PORT,NPROC,RANK",
                         help="multi-host bring-up, e.g. 10.0.0.1:1234,4,0 — "
@@ -226,6 +233,10 @@ def main(argv=None) -> int:
             "--spatial and --tensor-parallel cannot be combined (pick the "
             "axis that addresses your bottleneck: activation memory/latency "
             "-> --spatial, weight+optimizer memory -> --tensor-parallel)")
+    if args.zero and (args.spatial > 1 or args.tensor_parallel > 1):
+        raise SystemExit(
+            "--zero needs the plain 1-D data mesh (tensor parallelism "
+            "already shards the moments; spatial shards activations)")
     global_batch = args.batch_size * jax.process_count()
     n_dev = len(mesh.devices.flat)
     n_data = int(mesh.shape.get("data", n_dev))
@@ -283,10 +294,17 @@ def main(argv=None) -> int:
         )
         state = state.replace(batch_stats=warmed["batch_stats"])
 
+    zero_shardings = None
     if args.tensor_parallel > 1:
         from tdnet.parallel.tensor import shard_state
 
         state = shard_state(state, mesh)
+    elif args.zero and len(mesh.devices.flat) > 1:
+        from tdnet.parallel.zero import (shard_state_zero,
+                                         zero_state_shardings)
+
+        state = shard_state_zero(state, mesh)
+        zero_shardings = zero_state_shardings(state, mesh)
     else:
         state = jax.device_put(state, replicated_sharding(mesh))
 
@@ -301,7 +319,7 @@ def main(argv=None) -> int:
     train_step = make_train_step(
         model, train_ds.num_classes(), anchor_params=anchor_params,
         preprocess_mode=bb.preprocess_mode, fused_stem=args.fused_stem,
-        mesh=mesh,
+        mesh=mesh, state_out_shardings=zero_shardings,
     )
 
     evaluate_fn = None

@@ -1,8 +1,10 @@
 """Parallelism: mesh construction and sharding policy.
 
-Three axes, all GSPMD-placement-driven (no hand-written collectives):
-data (mesh.py), spatial — the image H axis (spatial.py), and tensor —
-conv output channels + Adam moments (tensor.py).
+Four axes: data (mesh.py), spatial — the image H axis (spatial.py), and
+tensor — conv output channels + Adam moments (tensor.py) are all
+GSPMD-placement-driven (no hand-written collectives); pipeline
+(pipeline.py) is a GPipe-style 2-stage split (backbone | FPN+heads) with
+per-stage jitted programs and a 1F1B microbatch schedule.
 """
 
 from tdnet.parallel.mesh import (

@@ -136,6 +136,7 @@ def make_train_step(
     preprocess_mode: str = "caffe",
     fused_stem: Optional[bool] = None,
     mesh=None,
+    state_out_shardings=None,
 ) -> Callable:
     """Build the jittable train step. Anchors are trace-time constants of the
     batch's (bucketed) image shape, so one compilation per bucket.
@@ -153,7 +154,13 @@ def make_train_step(
     `mesh` (the jax.sharding.Mesh of a multi-device run) lets the Pallas
     ingest/stem kernels participate in partitioned graphs via shard_map
     (per-device local-shard invocations; parameter grads psum'd) instead
-    of falling back to the plain-jnp normalize."""
+    of falling back to the plain-jnp normalize.
+
+    `state_out_shardings` (a NamedSharding pytree matching the TrainState)
+    PINS the returned state's placement via jit out_shardings — required
+    by ZeRO-1 (parallel/zero.py), where the partitioner would otherwise be
+    free to emit sharded params instead of keeping the moments sharded and
+    the params replicated."""
     focal_fn = focal(alpha=focal_alpha, gamma=focal_gamma, from_logits=True)
     l1_fn = smooth_l1(sigma=smooth_l1_sigma)
 
@@ -346,7 +353,20 @@ def make_train_step(
     # only peak host memory differs.
     donate = () if jax.default_backend() == "cpu" else (0,)
 
-    @functools.partial(jax.jit, donate_argnums=donate)
+    jit_kwargs = {}
+    if state_out_shardings is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(
+            jax.tree_util.tree_leaves(state_out_shardings)[0].mesh,
+            PartitionSpec())
+        metrics_shardings = {
+            "loss": rep, "classification_loss": rep,
+            "regression_loss": rep, "num_positive": rep,
+        }
+        jit_kwargs["out_shardings"] = (state_out_shardings, metrics_shardings)
+
+    @functools.partial(jax.jit, donate_argnums=donate, **jit_kwargs)
     def train_step(state: TrainState, batch: dict):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params, state.batch_stats, batch)
