@@ -27,7 +27,8 @@ from flax import linen as nn
 from tdnet.models.layers import PriorProbability, resize_nearest_like
 from tdnet.models.resnet import STAGE_SIZES, ResNet
 
-__all__ = ["RetinaNet", "FPN", "ClassificationSubnet", "RegressionSubnet"]
+__all__ = ["RetinaNet", "FPN", "ClassificationSubnet", "RegressionSubnet",
+           "apply_retinanet_tail"]
 
 
 def _build_backbone(name: str, dtype, freeze_bn: bool,
@@ -134,6 +135,73 @@ class RegressionSubnet(_Subnet):
     pass
 
 
+def apply_retinanet_tail(
+    c3, c4, c5, *,
+    num_classes: int,
+    num_anchors: int = 9,
+    feature_size: int = 256,
+    prior_probability: float = 0.01,
+    dtype: Any = jnp.float32,
+    output_dtype: Any = jnp.float32,
+    activation_sharding: Any = None,
+) -> Dict[str, jnp.ndarray]:
+    """Post-backbone graph shared by RetinaNet.__call__ and the pipeline's
+    head stage (parallel/pipeline.py _HeadStage): FPN + shared subnets +
+    per-level reshape/concat + output cast. Must be called inside an
+    nn.compact __call__ — the child modules (fpn / *_submodel) register
+    under the caller with fixed names, so both callers produce identical
+    param trees (pinned bit-identical by tests/parallel/test_pipeline.py).
+    """
+    if activation_sharding is not None:
+        # pin taps + features so the conv trunk stays spatially sharded
+        # end-to-end (GSPMD would otherwise be free to all-gather after
+        # any op); the head flatten below is the designed gather point.
+        # Only under a trace: inside jit GSPMD pads uneven H shards
+        # (P7 can be 1 row over 4 devices), but an EAGER
+        # with_sharding_constraint (e.g. model.init in
+        # create_train_state) is a strict reshard that rejects uneven
+        # dims — and eager init has no partitioner to guide anyway.
+        import jax
+
+        cons = lambda t: (
+            jax.lax.with_sharding_constraint(t, activation_sharding)
+            if isinstance(t, jax.core.Tracer) else t)
+        c3, c4, c5 = cons(c3), cons(c4), cons(c5)
+
+    features = FPN(feature_size, dtype=dtype, name="fpn")(c3, c4, c5)
+    if activation_sharding is not None:
+        features = tuple(cons(f) for f in features)
+
+    reg_subnet = RegressionSubnet(
+        out_channels=num_anchors * 4,
+        head_bias_init=nn.initializers.zeros_init(),
+        feature_size=feature_size,
+        dtype=dtype,
+        name="regression_submodel",
+    )
+    cls_subnet = ClassificationSubnet(
+        out_channels=num_anchors * num_classes,
+        head_bias_init=PriorProbability(prior_probability),
+        feature_size=feature_size,
+        dtype=dtype,
+        name="classification_submodel",
+    )
+
+    b = c3.shape[0]
+    regression = jnp.concatenate(
+        [reg_subnet(f).reshape(b, -1, 4) for f in features], axis=1
+    )
+    classification = jnp.concatenate(
+        [cls_subnet(f).reshape(b, -1, num_classes) for f in features], axis=1
+    )
+    # heads run in compute dtype (bf16); emit output_dtype (f32 for
+    # losses/legacy decode, None = native for the deferred tail)
+    if output_dtype is not None:
+        regression = regression.astype(output_dtype)
+        classification = classification.astype(output_dtype)
+    return {"regression": regression, "classification": classification}
+
+
 class RetinaNet(nn.Module):
     """Training-graph RetinaNet: images -> {regression, classification}.
 
@@ -170,52 +238,13 @@ class RetinaNet(nn.Module):
         c3, c4, c5 = _build_backbone(
             self.backbone_name, self.dtype, self.freeze_bn, self.stem_input
         )(images)
-        if self.activation_sharding is not None:
-            # pin taps + features so the conv trunk stays spatially sharded
-            # end-to-end (GSPMD would otherwise be free to all-gather after
-            # any op); the head flatten below is the designed gather point.
-            # Only under a trace: inside jit GSPMD pads uneven H shards
-            # (P7 can be 1 row over 4 devices), but an EAGER
-            # with_sharding_constraint (e.g. model.init in
-            # create_train_state) is a strict reshard that rejects uneven
-            # dims — and eager init has no partitioner to guide anyway.
-            import jax
-
-            cons = lambda t: (
-                jax.lax.with_sharding_constraint(t, self.activation_sharding)
-                if isinstance(t, jax.core.Tracer) else t)
-            c3, c4, c5 = cons(c3), cons(c4), cons(c5)
-
-        features = FPN(self.feature_size, dtype=self.dtype, name="fpn")(c3, c4, c5)
-        if self.activation_sharding is not None:
-            features = tuple(cons(f) for f in features)
-
-        reg_subnet = RegressionSubnet(
-            out_channels=self.num_anchors * 4,
-            head_bias_init=nn.initializers.zeros_init(),
+        return apply_retinanet_tail(
+            c3, c4, c5,
+            num_classes=self.num_classes,
+            num_anchors=self.num_anchors,
             feature_size=self.feature_size,
+            prior_probability=self.prior_probability,
             dtype=self.dtype,
-            name="regression_submodel",
+            output_dtype=self.output_dtype,
+            activation_sharding=self.activation_sharding,
         )
-        cls_subnet = ClassificationSubnet(
-            out_channels=self.num_anchors * self.num_classes,
-            head_bias_init=PriorProbability(self.prior_probability),
-            feature_size=self.feature_size,
-            dtype=self.dtype,
-            name="classification_submodel",
-        )
-
-        b = images.shape[0]
-        regression = jnp.concatenate(
-            [reg_subnet(f).reshape(b, -1, 4) for f in features], axis=1
-        )
-        classification = jnp.concatenate(
-            [cls_subnet(f).reshape(b, -1, self.num_classes) for f in features], axis=1
-        )
-        # heads run in compute dtype (bf16); emit output_dtype (f32 for
-        # losses/legacy decode, None = native for the deferred tail)
-        out = self.output_dtype
-        if out is not None:
-            regression = regression.astype(out)
-            classification = classification.astype(out)
-        return {"regression": regression, "classification": classification}

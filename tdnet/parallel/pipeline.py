@@ -58,9 +58,7 @@ import optax
 from flax import linen as nn
 from flax.core import FrozenDict
 
-from tdnet.models.layers import PriorProbability
-from tdnet.models.retinanet import (ClassificationSubnet, FPN,
-                                    RegressionSubnet, _build_backbone)
+from tdnet.models.retinanet import apply_retinanet_tail, _build_backbone
 from tdnet.ops.anchors import AnchorParameters, anchors_for_shape
 from tdnet.ops.losses import focal, smooth_l1
 from tdnet.ops.targets import batched_anchor_targets
@@ -103,8 +101,9 @@ def split_variables(variables) -> Tuple[Dict, Dict]:
 class _HeadStage(nn.Module):
     """Stage 1: FPN + shared subnets from backbone taps.
 
-    Mirrors RetinaNet.__call__ AFTER the backbone (models/retinanet.py —
-    the two must stay in lockstep; tests/parallel/test_pipeline.py pins
+    Delegates to models.retinanet.apply_retinanet_tail — the SAME function
+    RetinaNet.__call__ runs after its backbone, so the two cannot
+    desynchronize (tests/parallel/test_pipeline.py additionally pins
     bit-identical composition). Module names match RetinaNet's children so
     the stage's param tree IS the corresponding subtree of the full
     model's."""
@@ -118,36 +117,15 @@ class _HeadStage(nn.Module):
 
     @nn.compact
     def __call__(self, c3, c4, c5) -> Dict[str, jnp.ndarray]:
-        features = FPN(self.feature_size, dtype=self.dtype, name="fpn")(
-            c3, c4, c5
-        )
-        reg_subnet = RegressionSubnet(
-            out_channels=self.num_anchors * 4,
-            head_bias_init=nn.initializers.zeros_init(),
+        return apply_retinanet_tail(
+            c3, c4, c5,
+            num_classes=self.num_classes,
+            num_anchors=self.num_anchors,
             feature_size=self.feature_size,
+            prior_probability=self.prior_probability,
             dtype=self.dtype,
-            name="regression_submodel",
+            output_dtype=self.output_dtype,
         )
-        cls_subnet = ClassificationSubnet(
-            out_channels=self.num_anchors * self.num_classes,
-            head_bias_init=PriorProbability(self.prior_probability),
-            feature_size=self.feature_size,
-            dtype=self.dtype,
-            name="classification_submodel",
-        )
-        b = c3.shape[0]
-        regression = jnp.concatenate(
-            [reg_subnet(f).reshape(b, -1, 4) for f in features], axis=1
-        )
-        classification = jnp.concatenate(
-            [cls_subnet(f).reshape(b, -1, self.num_classes) for f in features],
-            axis=1,
-        )
-        out = self.output_dtype
-        if out is not None:
-            regression = regression.astype(out)
-            classification = classification.astype(out)
-        return {"regression": regression, "classification": classification}
 
 
 def make_stage_modules(model) -> Tuple[nn.Module, nn.Module]:
@@ -349,6 +327,9 @@ class PipelineTrainer:
         microbatches, 1F1B schedule (see module docstring)."""
         s0, s1 = states
         d0, d1 = self.devices
+        if num_microbatches < 1:
+            raise ValueError(
+                f"num_microbatches must be >= 1, got {num_microbatches}")
         images = np.asarray(batch["images"])
         n = images.shape[0]
         if n % num_microbatches != 0:

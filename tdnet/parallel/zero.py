@@ -70,11 +70,16 @@ def moment_partition_spec(path, leaf, n_data: int,
                           min_size: int = MIN_SHARDED_SIZE) -> P:
     """PartitionSpec for one TrainState leaf under ZeRO-1.
 
-    Sharded iff the leaf lives under an Adam moment ('mu'/'nu' anywhere on
-    its path — optax ScaleByAdamState fields) and its last dim is wide
-    enough and divisible by the data axis; everything else replicated."""
+    Sharded iff the leaf lives under an Adam moment — inside the
+    TrainState's `opt_state` subtree AND under a 'mu'/'nu' key (optax
+    ScaleByAdamState fields) — and its last dim is wide enough and
+    divisible by the data axis; everything else replicated. The opt_state
+    gate matters: a model VARIABLE literally named mu/nu (params or
+    batch_stats) must stay replicated or the ZeRO invariant breaks."""
     shape = getattr(leaf, "shape", ())
-    in_moments = any(_entry_name(e) in ("mu", "nu") for e in path)
+    in_opt_state = bool(path) and _entry_name(path[0]) == "opt_state"
+    in_moments = in_opt_state and any(
+        _entry_name(e) in ("mu", "nu") for e in path[1:])
     if (
         n_data > 1
         and in_moments

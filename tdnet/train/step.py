@@ -360,11 +360,10 @@ def make_train_step(
         rep = NamedSharding(
             jax.tree_util.tree_leaves(state_out_shardings)[0].mesh,
             PartitionSpec())
-        metrics_shardings = {
-            "loss": rep, "classification_loss": rep,
-            "regression_loss": rep, "num_positive": rep,
-        }
-        jit_kwargs["out_shardings"] = (state_out_shardings, metrics_shardings)
+        # `rep` is a pytree PREFIX for the whole metrics dict — every
+        # metric replicated without enumerating keys (adding a metric to
+        # _targets_and_losses must not break the ZeRO path).
+        jit_kwargs["out_shardings"] = (state_out_shardings, rep)
 
     @functools.partial(jax.jit, donate_argnums=donate, **jit_kwargs)
     def train_step(state: TrainState, batch: dict):
