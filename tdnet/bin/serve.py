@@ -89,12 +89,18 @@ class MicroBatcher:
     def submit(self, image_bgr: np.ndarray):
         """Blocking predict: returns (boxes, scores, labels) in original
         image coordinates. Raises whatever the predictor raised."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         p = _Pending(image_bgr)
+        # enqueue UNDER the lock: close() also takes the lock before it
+        # enqueues the shutdown sentinel, so a request can never land
+        # behind the sentinel where the worker would no longer drain it
+        # (the round-3 shutdown race: check-then-put let a request slip in
+        # between close()'s flag write and the sentinel's processing,
+        # leaving its event.wait() blocked forever)
         with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
             self.requests += 1
-        self._queue.put(p)
+            self._queue.put(p)
         p.event.wait()
         if p.error is not None:
             raise p.error
@@ -120,30 +126,54 @@ class MicroBatcher:
         return batch
 
     def _run(self):
-        while True:
-            item = self._queue.get()
-            if item is None:
-                self._closed = True
-                return
-            batch = self._drain(item)
-            try:
-                results = self.predictor.predict_batch(
-                    [p.image for p in batch])
-            except Exception as exc:  # propagate to every waiter
+        batch = []
+        try:
+            while True:
+                item = self._queue.get()
+                if item is None:
+                    self._closed = True
+                    return
+                batch = self._drain(item)
+                try:
+                    results = self.predictor.predict_batch(
+                        [p.image for p in batch])
+                except Exception as exc:  # propagate to every waiter
+                    with self._lock:
+                        self.errors += len(batch)
+                    for p in batch:
+                        p.error = exc
+                        p.event.set()
+                    batch = []
+                    continue
                 with self._lock:
-                    self.errors += len(batch)
-                for p in batch:
-                    p.error = exc
+                    self.batches += 1
+                    self.images += len(batch)
+                for p, r in zip(batch, results):
+                    p.result = r
                     p.event.set()
-                continue
-            with self._lock:
-                self.batches += 1
-                self.images += len(batch)
-            for p, r in zip(batch, results):
-                p.result = r
-                p.event.set()
-            if self._closed:
-                return
+                batch = []
+                if self._closed:
+                    return
+        finally:
+            # the worker is exiting (sentinel OR unexpected crash): no
+            # request may be left blocking on a dead worker — fail the
+            # in-flight batch (non-Exception crash, e.g. KeyboardInterrupt
+            # mid-dispatch) and whatever is still queued. With the
+            # submit/close lock ordering nothing can follow the sentinel,
+            # so after a clean close this is normally empty.
+            self._closed = True
+            for p in batch:
+                if not p.event.is_set():
+                    p.error = RuntimeError("batcher is closed")
+                    p.event.set()
+            while True:
+                try:
+                    p = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if p is not None:
+                    p.error = RuntimeError("batcher is closed")
+                    p.event.set()
 
     def stats(self) -> dict:
         with self._lock:
@@ -161,11 +191,22 @@ class MicroBatcher:
                     round(self.images / self.batches, 2) if self.batches else None
                 ),
                 "latency_ms": {"p50": q(0.50), "p90": q(0.90), "p99": q(0.99)},
+                # serving-path transparency: True while the Pallas fused
+                # ingest+stem kernel is active, else the fallback reason —
+                # a silent kernel switch is a ~4% throughput regression a
+                # long-running server must be able to see
+                "fused_stem": bool(getattr(self.predictor, "fused_stem",
+                                           False)),
+                "fused_stem_fallback": getattr(
+                    self.predictor, "fused_stem_fallback", None),
             }
 
     def close(self):
-        self._closed = True
-        self._queue.put(None)
+        with self._lock:
+            already = self._closed
+            self._closed = True
+            if not already:
+                self._queue.put(None)
         self._thread.join(timeout=5.0)
 
 

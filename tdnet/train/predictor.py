@@ -87,6 +87,10 @@ class Predictor:
                 and not getattr(model, "stem_input", False)
             )
         self.fused_stem = fused_stem
+        # set to "<ExcType>: <msg>" if the fused-stem pipeline ever fails
+        # at dispatch and the predictor permanently switches to the
+        # flat-normalize path (surfaced in tdnet-serve /stats)
+        self.fused_stem_fallback = None
         self._stem_model = model.clone(stem_input=True) if fused_stem else None
         self.det_kwargs = dict(
             score_threshold=score_threshold,
@@ -247,11 +251,18 @@ class Predictor:
             except Exception as exc:
                 if not (self.fused_stem and stack.ndim == 3):
                     raise
+                if isinstance(exc, (TypeError, ValueError, KeyError,
+                                    AttributeError, AssertionError)):
+                    # a shape/params/programming bug, not a transport flake
+                    # — surface it instead of silently changing kernels
+                    raise
                 # transient Mosaic/tunnel compile flakes (HTTP 500) observed
                 # on this platform — fall back to the flat-normalize path
                 # permanently for this predictor rather than failing eval.
                 # Loud: a real kernel/params bug would otherwise be masked
-                # by silently switching implementations mid-eval.
+                # by silently switching implementations mid-eval; the state
+                # is also surfaced in tdnet-serve's /stats
+                # (fused_stem_fallback).
                 import sys as _sys
 
                 print(
@@ -261,6 +272,7 @@ class Predictor:
                     file=_sys.stderr,
                 )
                 self.fused_stem = False
+                self.fused_stem_fallback = f"{type(exc).__name__}: {exc}"
                 if stack.size % 3072 == 0:
                     flat = stack.reshape(-1, 3072)
                 else:  # odd custom bucket: NHWC uint8 fallback

@@ -130,3 +130,134 @@ def test_bad_requests(served):
         urllib.request.urlopen(
             urllib.request.Request(base + "/nope", data=b""), timeout=30)
     assert e.value.code == 404
+
+
+def test_stats_exposes_fused_stem_state(served):
+    """/stats must surface the fused-stem kernel state (round-3 weak #5:
+    a permanent silent fallback is a ~4% regression a server must see)."""
+    base, predictor, _ = served
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert "fused_stem" in s and "fused_stem_fallback" in s
+    assert s["fused_stem"] == bool(predictor.fused_stem)
+    assert s["fused_stem_fallback"] is None
+
+
+def test_close_never_strands_a_waiter():
+    """The round-3 shutdown race: a submit() racing close() could enqueue
+    behind the sentinel and block on event.wait() forever. With the
+    lock-ordered enqueue + worker-exit drain, every submit must either
+    return a result or raise 'batcher is closed' — never hang."""
+    from tdnet.bin.serve import MicroBatcher
+
+    class SlowPredictor:
+        def predict_batch(self, images):
+            import time as _t
+
+            _t.sleep(0.02)
+            return [(np.zeros((1, 4)), np.zeros(1), np.zeros(1, np.int64))
+                    for _ in images]
+
+    for trial in range(8):
+        batcher = MicroBatcher(SlowPredictor(), max_batch=4, max_delay_ms=1.0)
+        outcomes = [None] * 12
+        start = threading.Barrier(13)
+
+        def worker(i):
+            start.wait()
+            try:
+                batcher.submit(np.zeros((8, 8, 3), np.float32))
+                outcomes[i] = "ok"
+            except RuntimeError:
+                outcomes[i] = "closed"
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        start.wait()  # all submitters released together...
+        batcher.close()  # ...racing close()
+        for t in threads:
+            t.join(timeout=30)
+        assert not any(t.is_alive() for t in threads), (
+            f"trial {trial}: a submitter is stranded: {outcomes}")
+        assert all(o in ("ok", "closed") for o in outcomes), outcomes
+
+
+def test_predictor_error_propagates_to_waiter():
+    """An Exception inside predict_batch reaches the submitter; the worker
+    survives and the batcher still closes cleanly."""
+    from tdnet.bin.serve import MicroBatcher
+
+    class ExplodingPredictor:
+        def predict_batch(self, images):
+            raise MemoryError("boom")
+
+    batcher = MicroBatcher(ExplodingPredictor(), max_batch=2,
+                           max_delay_ms=1.0)
+    with pytest.raises(MemoryError):
+        batcher.submit(np.zeros((8, 8, 3), np.float32))
+    assert batcher.stats()["errors"] == 1
+    batcher.close()
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_worker_death_fails_inflight_and_queued():
+    """If the worker thread DIES mid-dispatch (non-Exception crash, e.g.
+    KeyboardInterrupt), the in-flight batch and everything queued must be
+    failed, not left blocking forever (the _run finally backstop)."""
+    from tdnet.bin.serve import MicroBatcher
+
+    class DyingPredictor:
+        def predict_batch(self, images):
+            raise KeyboardInterrupt  # escapes `except Exception`
+
+    batcher = MicroBatcher(DyingPredictor(), max_batch=1, max_delay_ms=1.0)
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(np.zeros((8, 8, 3), np.float32))
+    # and later submits see the closed flag immediately
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(np.zeros((8, 8, 3), np.float32))
+
+
+def test_uint8_device_normalize_serving():
+    """Serve through a --device-normalize predictor (uint8 canvases + the
+    on-device normalize kernel, interpret-mode off-TPU): responses must
+    match the direct predictor (round-3 weak #5b: the uint8 serving path
+    had no test)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdnet.bin.serve import build_server
+    from tdnet.models.retinanet import RetinaNet
+    from tdnet.train.predictor import Predictor
+
+    model = RetinaNet(num_classes=1, dtype=jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    predictor = Predictor(
+        model, variables, min_side=64, max_side=64, buckets=[(64, 64)],
+        score_threshold=0.01, pre_nms_top_k=64, max_detections=10,
+        use_pallas=False, batch_size=4, device_preprocess=True,
+    )
+    httpd, batcher = build_server(predictor, port=0, max_batch=4,
+                                  max_delay_ms=5.0, default_threshold=0.01)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        image = np.random.RandomState(3).uniform(
+            0, 255, (64, 64, 3)).astype(np.float32)
+        resp = _post_npy(base, image)
+        boxes, scores, labels = predictor(image)
+        kept = np.where(scores > 0.01)[0]
+        assert len(resp["detections"]) == len(kept)
+        for det, i in zip(resp["detections"], kept):
+            np.testing.assert_allclose(det["box"], boxes[i], atol=0.01)
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            s = json.loads(r.read())
+        assert s["fused_stem_fallback"] is None
+    finally:
+        httpd.shutdown()
+        batcher.close()
