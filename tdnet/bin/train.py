@@ -81,7 +81,10 @@ def parse_args(argv=None):
                         help="anchor parameters INI (reference-compatible)")
     parser.add_argument("--image-min-side", default=800, type=int)
     parser.add_argument("--image-max-side", default=1333, type=int)
-    parser.add_argument("--max-boxes", default=64, type=int)
+    parser.add_argument("--max-boxes", default=None, type=int,
+                        help="GT padding width (default: auto-sized from a "
+                             "dataset scan to the densest image, floor 64; "
+                             "an explicit value truncates with a warning)")
     parser.add_argument("--evaluation", dest="evaluation", action="store_true",
                         help="run mAP evaluation each epoch (needs --val-annotations)")
     parser.add_argument("--coco-evaluation", action="store_true",

@@ -74,7 +74,13 @@ class LoaderConfig:
     batch_size: int = 1
     min_side: int = 800
     max_side: int = 1333
-    max_boxes: int = 64  # GT padding (documents rarely exceed a few tables)
+    # GT padding width. None (default) = AUTO: scan the dataset's
+    # annotation counts at loader build and size to the densest image
+    # (floor 64, rounded up to a multiple of 8) — a 100-paragraph layout
+    # page must not silently lose ground truth (round-3 weak #7; the
+    # upstream CSV contract has no box-count cap). An explicit int keeps
+    # the old fixed-padding behavior (truncation still warns).
+    max_boxes: Optional[int] = None
     preprocess_mode: str = "caffe"
     # ship uint8 canvases and normalize inside the jitted step (4x less
     # host->device traffic; train/step.py applies preprocess_image_device).
@@ -153,6 +159,20 @@ class BatchLoader:
             self._transform_gen = None
         # cache: dataset index -> bucket, computed lazily on first epoch
         self._bucket_of: dict = {}
+        # resolve GT padding: explicit value, or auto-size to the densest
+        # image. The scan is metadata-only (load_annotations never decodes
+        # pixels for the shipped datasets) and deterministic over the
+        # GLOBAL dataset, so every multi-host rank computes the same width
+        # (= the same compiled target-assignment shapes).
+        if config.max_boxes is not None:
+            self.max_boxes = int(config.max_boxes)
+        else:
+            densest = max(
+                (len(dataset.load_annotations(i)["labels"])
+                 for i in range(dataset.size())),
+                default=0,
+            )
+            self.max_boxes = max(64, int(math.ceil(densest / 8)) * 8)
 
     @property
     def num_classes(self) -> int:
@@ -245,7 +265,7 @@ class BatchLoader:
     def _assemble(self, entries, indices, bucket):
         bh, bw = bucket
         b = len(entries)
-        m = self.config.max_boxes
+        m = self.max_boxes
         img_dtype = np.uint8 if self.config.device_normalize else np.float32
         images = np.zeros((b, bh, bw, 3), dtype=img_dtype)
         if self.config.device_normalize:

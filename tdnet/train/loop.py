@@ -160,6 +160,7 @@ def fit(
     """
     writer = MetricsWriter(metrics_path, tensorboard_dir)
     batches_per_log = max(1, log_every)
+    prev_epoch_loss = None
 
     try:
         for epoch in range(initial_epoch, epochs):
@@ -207,6 +208,24 @@ def fit(
                 "epoch_loss": round(epoch_loss, 5),
                 "epoch_time_s": round(time.time() - epoch_start, 2),
             }
+            # divergence guard (round-3 epoch-217 finding: Adam second
+            # moments collapse at near-zero loss, one gradient spike then
+            # produces a catastrophic step). A long fine-tune must not hit
+            # that cliff silently: flag any >10x single-epoch loss jump.
+            if (prev_epoch_loss is not None and prev_epoch_loss > 0
+                    and epoch_loss > 10.0 * prev_epoch_loss):
+                epoch_rec["loss_spike"] = True
+                print(
+                    f"tdnet: WARNING epoch {epoch} loss jumped "
+                    f"{epoch_loss / prev_epoch_loss:.1f}x "
+                    f"({prev_epoch_loss:.4g} -> {epoch_loss:.4g}) — likely "
+                    "optimizer divergence (Adam second-moment collapse at "
+                    "low loss). Consider resuming from the last snapshot "
+                    "with a lower --lr or tighter --clipnorm; see "
+                    "tools/convergence_run.py for the measured case.",
+                    flush=True,
+                )
+            prev_epoch_loss = epoch_loss
 
             if evaluate_fn is not None:
                 eval_metrics = evaluate_fn(state)

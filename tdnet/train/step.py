@@ -369,6 +369,11 @@ def make_train_step(
     def train_step(state: TrainState, batch: dict):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params, state.batch_stats, batch)
+        # pre-clip global gradient norm: the observability guard for the
+        # measured Adam second-moment blow-up (round-3 epoch-217 finding,
+        # tools/convergence_run.py) — a user watching metrics.jsonl sees
+        # the spike building before the step that diverges
+        metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 

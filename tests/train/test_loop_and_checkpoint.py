@@ -93,3 +93,34 @@ def test_checkpoint_restore_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         ckpt.restore(_toy_state(create_optimizer()))
     ckpt.close()
+
+
+def test_loss_spike_warning(tmp_path, capsys):
+    """A >10x single-epoch loss jump must be flagged loudly (the product
+    guard for the measured round-3 Adam divergence) — in stdout AND as
+    loss_spike in the metrics JSONL."""
+    import itertools
+    import json as _json
+
+    import numpy as np
+
+    from tdnet.train.loop import fit
+
+    class StubState:
+        step = 0
+
+    losses = iter([1.0, 50.0, 49.0])  # spike at epoch 1 only
+
+    def stub_step(state, batch):
+        return state, {"loss": next(losses)}
+
+    batches = itertools.repeat({"images": np.zeros((1, 4, 4, 3))})
+    metrics_path = str(tmp_path / "m.jsonl")
+    fit(StubState(), stub_step, batches, steps_per_epoch=1, epochs=3,
+        log_every=10**9, metrics_path=metrics_path)
+
+    out = capsys.readouterr().out
+    assert "loss jumped" in out and "50.0" in out
+    recs = [_json.loads(l) for l in open(metrics_path)]
+    spikes = [r for r in recs if r.get("loss_spike")]
+    assert len(spikes) == 1 and spikes[0]["epoch"] == 1

@@ -66,6 +66,10 @@ def test_loss_decreases(trained_bits):
     assert int(metrics["num_positive"]) > 0
     assert np.isfinite(losses).all()
     assert np.mean(losses[-3:]) < first
+    # divergence-observability metric: pre-clip global grad norm is
+    # reported every step (round-3 epoch-217 finding's product guard)
+    assert float(metrics["grad_norm"]) > 0.0
+    assert np.isfinite(float(metrics["grad_norm"]))
 
 
 def test_freeze_backbone_masks_updates():
