@@ -146,6 +146,23 @@ def parse_args(argv=None):
                              "stay replicated, numerics identical to plain "
                              "data parallelism. Not combinable with "
                              "--spatial/--tensor-parallel")
+    parser.add_argument("--pipeline", action="store_true",
+                        help="GPipe 2-stage pipeline parallelism over two "
+                             "local devices (backbone | FPN+heads): each "
+                             "stage's params+Adam live on their own device, "
+                             "1F1B microbatch schedule, rematerialized "
+                             "stage backwards (parallel/pipeline.py). "
+                             "Snapshots store the MERGED model variables "
+                             "(evaluate/convert-model compatible); the "
+                             "optimizer restarts on --snapshot resume. Not "
+                             "combinable with --spatial/--tensor-parallel/"
+                             "--zero/--distributed/--device-normalize/"
+                             "--fused-stem/--freeze-backbone/--bn-warmup")
+    parser.add_argument("--microbatches", default=None, type=int,
+                        help="pipeline microbatches per optimizer step "
+                             "(default: 2 when the batch divides, else 1); "
+                             "semantics = gradient accumulation at "
+                             "batch/microbatches images per microbatch")
     parser.add_argument("--distributed", default=None, type=str,
                         metavar="COORD:PORT,NPROC,RANK",
                         help="multi-host bring-up, e.g. 10.0.0.1:1234,4,0 — "
@@ -173,6 +190,187 @@ def _maybe_init_distributed(spec):
             f"--distributed expects 'coordinator:port,num_processes,"
             f"process_id', got {spec!r} ({e})"
         )
+
+
+def _run_pipeline(args, model, bb, anchor_params, train_ds, val_ds,
+                  loader) -> int:
+    """GPipe 2-stage training (`--pipeline`): per-stage params+Adam on
+    their own device, microbatched 1F1B schedule (parallel/pipeline.py).
+
+    Snapshots and --model-path store the MERGED full-model variables
+    (PipelineTrainer.merged_variables), so bin/evaluate.py /
+    bin/convert_model.py / --snapshot resume all interoperate with
+    non-pipelined runs; only the optimizer state restarts on resume."""
+    import json
+    import time
+
+    from tdnet.parallel.pipeline import PipelineTrainer
+    from tdnet.train.loop import MetricsWriter
+
+    for flag, name in (
+        (args.spatial > 1, "--spatial"),
+        (args.tensor_parallel > 1, "--tensor-parallel"),
+        (args.zero, "--zero"),
+        (bool(args.distributed), "--distributed"),
+        (args.device_normalize, "--device-normalize"),
+        (bool(args.fused_stem), "--fused-stem"),
+        (args.freeze_backbone, "--freeze-backbone"),
+        (args.bn_warmup > 0, "--bn-warmup"),
+    ):
+        if flag:
+            raise SystemExit(f"--pipeline cannot be combined with {name}")
+    devices = jax.local_devices()
+    if len(devices) < 2 or jax.process_count() > 1:
+        raise SystemExit(
+            f"--pipeline needs >= 2 local devices in one process "
+            f"(have {len(devices)} across {jax.process_count()} processes)")
+
+    nmb = args.microbatches or (2 if args.batch_size % 2 == 0 else 1)
+    if nmb < 1 or args.batch_size % nmb != 0:
+        raise SystemExit(
+            f"--microbatches {nmb} must divide --batch-size {args.batch_size}")
+
+    trainer = PipelineTrainer(
+        model, train_ds.num_classes(), devices[:2],
+        anchor_params=anchor_params,
+        tx_factory=lambda: create_optimizer(args.lr, args.clipnorm))
+
+    bucket0 = loader.config.resolved_buckets()[0]
+    variables = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, bucket0[0], bucket0[1], 3), jnp.float32))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    if args.weights:
+        from tdnet.train.weights import load_initial_weights
+
+        variables = load_initial_weights(
+            args.weights, variables, backbone_name=args.backbone)
+
+    ckpt = Checkpointer(args.snapshot_path) if args.snapshots else None
+    initial_epoch = 0
+    if args.snapshot:
+        resume = Checkpointer(args.snapshot)
+        params, batch_stats = resume.restore_weights(
+            variables["params"], variables["batch_stats"])
+        variables = {"params": params, "batch_stats": batch_stats}
+        step0 = resume.latest_step() or 0
+        initial_epoch = step0 // max(args.steps, 1)
+        print(f"resumed merged variables from step {step0} "
+              f"(epoch {initial_epoch}; optimizer restarts)")
+
+    states = trainer.states_from_variables(variables)
+
+    evaluate_fn = None
+    if (args.evaluation or args.coco_evaluation) and val_ds is not None:
+        predictor = Predictor(
+            model, variables, anchor_params=anchor_params,
+            min_side=args.image_min_side, max_side=args.image_max_side,
+            preprocess_mode=bb.preprocess_mode,
+            score_threshold=args.score_threshold,
+            use_pallas=args.use_pallas, batch_size=args.eval_batch_size)
+
+        def evaluate_fn(merged):
+            predictor.variables = merged
+            if args.coco_evaluation:
+                from tdnet.utils.coco_eval import evaluate_coco
+
+                return {k: float(v)
+                        for k, v in evaluate_coco(val_ds, predictor).items()}
+            aps = evaluate(val_ds, predictor)
+            present = [(ap, n) for ap, n in aps.values() if n > 0]
+            mAP = (sum(ap for ap, _ in present) / len(present)
+                   if present else 0.0)
+            total = sum(n for _, n in present)
+            weighted = (sum(ap * n for ap, n in present) / total
+                        if total else 0.0)
+            return {"mAP": mAP, "weighted_mAP": weighted}
+
+    class _MergedShim:
+        """Checkpointer payload: merged variables + step, empty opt_state
+        (evaluate/convert restore via restore_weights partial restore)."""
+
+        def __init__(self, merged, step):
+            self.params = merged["params"]
+            self.batch_stats = merged["batch_stats"]
+            self.opt_state = {}
+            self.step = jnp.asarray(step, jnp.int32)
+
+    writer = MetricsWriter(args.metrics_path, args.tensorboard_dir)
+    schedule = ReduceLROnPlateau(factor=args.reduce_lr_factor,
+                                 patience=args.reduce_lr_patience)
+    lr = args.lr
+    prev_epoch_loss = None
+    batches = loader.forever()
+    print(f"pipeline training: 2 stages on {devices[0]} | {devices[1]}, "
+          f"{nmb} microbatches of {args.batch_size // nmb}")
+    try:
+        for epoch in range(initial_epoch, args.epochs):
+            t0 = time.time()
+            sums: dict = {}
+            for step_in_epoch in range(args.steps):
+                batch = next(batches)
+                states, metrics = trainer.step(states, batch,
+                                               num_microbatches=nmb)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                if (step_in_epoch + 1) % max(1, args.log_every) == 0:
+                    rec = {"epoch": epoch,
+                           "step": epoch * args.steps + step_in_epoch + 1,
+                           "lr": lr,
+                           **{k: round(v / (step_in_epoch + 1), 5)
+                              for k, v in sums.items()}}
+                    print(json.dumps(rec), flush=True)
+                    writer.write(rec)
+
+            epoch_loss = sums.get("loss", 0.0) / max(args.steps, 1)
+            rec = {"epoch": epoch, "epoch_loss": round(epoch_loss, 5),
+                   "epoch_time_s": round(time.time() - t0, 2)}
+            if (prev_epoch_loss is not None and prev_epoch_loss > 0
+                    and epoch_loss > 10.0 * prev_epoch_loss):
+                rec["loss_spike"] = True
+                print(f"tdnet: WARNING epoch {epoch} loss jumped "
+                      f"{epoch_loss / prev_epoch_loss:.1f}x — likely "
+                      "optimizer divergence; consider a lower --lr or "
+                      "tighter --clipnorm", flush=True)
+            prev_epoch_loss = epoch_loss
+
+            merged = trainer.merged_variables(states)
+            if evaluate_fn is not None:
+                rec.update({k: (round(v, 5) if isinstance(v, float) else v)
+                            for k, v in evaluate_fn(merged).items()})
+            print(json.dumps(rec), flush=True)
+            writer.write(rec)
+            if ckpt is not None:
+                ckpt.save((epoch + 1) * args.steps,
+                          _MergedShim(merged, (epoch + 1) * args.steps))
+
+            new_lr = schedule.update(epoch_loss, lr)
+            if new_lr != lr:
+                lr = new_lr
+                from tdnet.train.loop import set_learning_rate
+
+                states = tuple(
+                    s.replace(opt_state=set_learning_rate(s.opt_state, lr))
+                    for s in states)
+    finally:
+        writer.close()
+        if ckpt is not None:
+            ckpt.wait()
+        loader.close()
+
+    if args.model_path:
+        save_model(
+            args.model_path, model, trainer.merged_variables(states),
+            anchor_params=anchor_params,
+            inference_config={
+                "min_side": args.image_min_side,
+                "max_side": args.image_max_side,
+                "preprocess_mode": bb.preprocess_mode,
+            },
+        )
+        print(f"saved deployable model to {args.model_path}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -207,6 +405,10 @@ def main(argv=None) -> int:
     if args.steps <= 0:
         args.steps = loader.steps_per_epoch()
         print(f"--steps 0: using one dataset pass = {args.steps} steps/epoch")
+
+    if args.pipeline:
+        return _run_pipeline(args, model, bb, anchor_params,
+                             train_ds, val_ds, loader)
 
     if args.spatial > 1:
         # 2-D (data, spatial) mesh: H sharded over 'spatial', batch over

@@ -169,11 +169,20 @@ class PipelinedForward:
     resident on the stage-1 device)."""
 
     def __init__(self, model, variables, devices: Sequence[Any],
-                 microbatch_size: int = 1):
+                 microbatch_size: int = 1, max_in_flight: int = 2):
         if len(devices) != 2:
             raise ValueError(f"2-stage pipeline needs 2 devices, got {len(devices)}")
+        if max_in_flight < 1:
+            raise ValueError(f"max_in_flight must be >= 1, got {max_in_flight}")
         self.devices = tuple(devices)
         self.microbatch_size = int(microbatch_size)
+        # bound on microbatch TAPS stashed on the stage-1 device at once:
+        # an unbounded stash (enqueue all forwards, then all heads) would
+        # grow device-1 memory linearly in batch/microbatch count,
+        # defeating the pipeline's memory story (round-3 weak #1). 2 keeps
+        # the stages overlapped (device 0 runs f0(k+1) while device 1 runs
+        # f1(k)) at constant memory.
+        self.max_in_flight = int(max_in_flight)
         backbone, head = make_stage_modules(model)
         v0, v1 = split_variables(variables)
         self.v0 = jax.device_put(_stage_vars(v0), self.devices[0])
@@ -183,19 +192,23 @@ class PipelinedForward:
         self._f1 = jax.jit(lambda v, taps: head.apply(v, *taps))
 
     def __call__(self, images) -> Dict[str, jnp.ndarray]:
+        from collections import deque
+
         n = images.shape[0]
         mb = self.microbatch_size
         if n % mb != 0:
             raise ValueError(f"batch {n} not divisible by microbatch {mb}")
         outs = []
-        taps_q = []
+        pending: deque = deque()
         for k in range(n // mb):
             x = jax.device_put(np.asarray(images[k * mb:(k + 1) * mb]),
                                self.devices[0])
             taps = self._f0(self.v0, x)
-            taps_q.append(jax.device_put(taps, self.devices[1]))
-        for taps in taps_q:
-            outs.append(self._f1(self.v1, taps))
+            pending.append(jax.device_put(taps, self.devices[1]))
+            if len(pending) >= self.max_in_flight:
+                outs.append(self._f1(self.v1, pending.popleft()))
+        while pending:
+            outs.append(self._f1(self.v1, pending.popleft()))
         return {
             k: jnp.concatenate([o[k] for o in outs], axis=0)
             for k in outs[0]

@@ -1,0 +1,94 @@
+"""train --pipeline CLI smoke: a short GPipe 2-stage run on the virtual
+8-device CPU mesh (parallel/pipeline.py), asserting the run completes with
+finite losses, the snapshot stores MERGED variables that bin/evaluate.py
+can load (interop with non-pipelined tooling), and the incompatible-flag
+guards fire. The numeric equivalence story lives in
+tests/parallel/test_pipeline.py."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tiny_dataset(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(4):
+        h, w = 96, 128
+        img = np.full((h, w, 3), 240, np.uint8)
+        x1, y1 = int(rng.randint(5, 40)), int(rng.randint(5, 30))
+        x2, y2 = x1 + 40, y1 + 30
+        img[y1:y2, x1:x2] = (70, 80, 90)
+        name = f"p{i}.png"
+        Image.fromarray(img).save(tmp_path / name)
+        rows.append(f"{name},{x1},{y1},{x2},{y2},table")
+    (tmp_path / "annotations.csv").write_text("\n".join(rows) + "\n")
+    (tmp_path / "classes.csv").write_text("table,0\n")
+    return tmp_path
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs 2 devices")
+def test_train_pipeline_cli_and_snapshot_interop(tiny_dataset, tmp_path):
+    from tdnet.bin import evaluate, train
+
+    metrics_path = tmp_path / "metrics.jsonl"
+    rc = train.main(
+        [
+            "--batch-size", "2",
+            "--pipeline",
+            "--epochs", "1",
+            "--steps", "2",
+            "--snapshot-path", str(tmp_path / "snaps"),
+            "--metrics-path", str(metrics_path),
+            "--log-every", "1",
+            "--image-min-side", "96",
+            "--image-max-side", "128",
+            "csv",
+            str(tiny_dataset / "annotations.csv"),
+            str(tiny_dataset / "classes.csv"),
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in metrics_path.read_text().splitlines()]
+    losses = [l["loss"] for l in lines if "loss" in l]
+    assert losses and all(np.isfinite(l) for l in losses)
+    assert any("epoch_loss" in l for l in lines)
+
+    # the snapshot holds MERGED variables: the ordinary evaluate CLI loads
+    # it without any pipeline knowledge
+    rc = evaluate.main(
+        [
+            "--image-min-side", "96",
+            "--image-max-side", "128",
+            "--eval-batch-size", "2",
+            "csv",
+            str(tiny_dataset / "annotations.csv"),
+            str(tiny_dataset / "classes.csv"),
+            str(tmp_path / "snaps"),
+        ]
+    )
+    assert rc == 0
+
+
+def test_pipeline_flag_guards(tiny_dataset, tmp_path):
+    from tdnet.bin import train
+
+    base = [
+        "--batch-size", "2", "--pipeline", "--epochs", "1", "--steps", "1",
+        "--no-snapshots",
+        "--image-min-side", "96", "--image-max-side", "128",
+        "csv",
+        str(tiny_dataset / "annotations.csv"),
+        str(tiny_dataset / "classes.csv"),
+    ]
+    for extra in (["--zero"], ["--spatial", "2"], ["--tensor-parallel", "2"],
+                  ["--device-normalize"], ["--freeze-backbone"]):
+        with pytest.raises(SystemExit, match="--pipeline cannot"):
+            train.main(base[:2] + extra + base[2:])
+    with pytest.raises(SystemExit, match="must divide"):
+        train.main(["--microbatches", "3"] + base)
