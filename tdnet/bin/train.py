@@ -119,6 +119,13 @@ def parse_args(argv=None):
                              "(default: on for TPU)")
     parser.add_argument("--eval-batch-size", default=None, type=int,
                         help="per-epoch eval batch size (default: 16 on TPU)")
+    parser.add_argument("--eval-every", default=1, type=int, metavar="N",
+                        help="run the per-epoch evaluation every N epochs "
+                             "(always on the final epoch). >1 also cuts "
+                             "the eval-side host->device transfer volume, "
+                             "which matters on transports that leak host "
+                             "memory per transfer (train/loop.py "
+                             "host_rss_mb note)")
     parser.add_argument("--workers", default=1, type=int,
                         help="host decode/augment threads per batch "
                              "(reference: fit_generator workers=N; <=1 is "
@@ -613,6 +620,7 @@ def main(argv=None) -> int:
             log_every=args.log_every,
             initial_epoch=initial_epoch,
             profile_dir=args.profile_dir,
+            eval_every=args.eval_every,
         )
     finally:
         batches.close()

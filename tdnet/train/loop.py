@@ -138,6 +138,18 @@ class MetricsWriter:
             self._tb.close()
 
 
+def _rss_mb() -> float:
+    """Host resident-set size in MB (0.0 where /proc is unavailable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
 def fit(
     state,
     train_step: Callable,
@@ -152,14 +164,17 @@ def fit(
     log_every: int = 50,
     initial_epoch: int = 0,
     profile_dir: Optional[str] = None,
+    eval_every: int = 1,
 ):
     """Run the training loop; returns the final state.
 
     batch_iterator yields device-ready batches forever (data.prefetch).
-    evaluate_fn(state) -> dict of eval metrics, run at each epoch end.
+    evaluate_fn(state) -> dict of eval metrics, run at each `eval_every`-th
+    epoch end (and always on the final epoch).
     """
     writer = MetricsWriter(metrics_path, tensorboard_dir)
     batches_per_log = max(1, log_every)
+    eval_every = max(1, eval_every)
     prev_epoch_loss = None
 
     try:
@@ -226,8 +241,17 @@ def fit(
                     flush=True,
                 )
             prev_epoch_loss = epoch_loss
+            # host RSS: the axon-tunnel client leaks ~its size in host
+            # memory per host->device transfer (round-4 finding,
+            # tools/probe_leak.py — a 150-epoch 800x1344 f32 run grew to
+            # 130 GB and was OOM-killed at epoch 81). Surfacing RSS per
+            # epoch makes any environment's host-memory growth visible
+            # before the OOM killer does.
+            epoch_rec["host_rss_mb"] = round(_rss_mb(), 1)
 
-            if evaluate_fn is not None:
+            if evaluate_fn is not None and (
+                    (epoch + 1 - initial_epoch) % eval_every == 0
+                    or epoch == epochs - 1):
                 eval_metrics = evaluate_fn(state)
                 epoch_rec.update(
                     {k: (round(v, 5) if isinstance(v, float) else v)

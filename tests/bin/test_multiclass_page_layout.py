@@ -55,7 +55,7 @@ def test_multiclass_train_and_softnms_eval(layout_dataset):
     step = make_train_step(model, num_classes=3)
 
     batches = loader.forever()
-    for _ in range(6):
+    for _ in range(12):
         state, metrics = step(state, next(batches))
     assert int(metrics["num_positive"]) > 0
 
@@ -70,9 +70,12 @@ def test_multiclass_train_and_softnms_eval(layout_dataset):
     aps = evaluate(ds, predictor, score_threshold=0.01)
     assert set(aps.keys()) == {0, 1, 2}
     assert all(n == 6 for _, n in aps.values())  # 6 GT per class
-    # the net barely trained; just require a valid AP range and detections
     for ap, _ in aps.values():
         assert 0.0 <= ap <= 1.0
+    # 12 steps is enough signal that at least one class must be above
+    # zero AP (round-3 weak #9: the old [0,1]-range check passed with an
+    # untrained net); the full learning proofs are the gated slow tests
+    assert max(ap for ap, _ in aps.values()) > 0.0
 
     boxes, scores, labels = predictor(ds.load_image(0))
     kept = scores > 0.01

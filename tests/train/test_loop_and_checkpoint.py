@@ -124,3 +124,56 @@ def test_loss_spike_warning(tmp_path, capsys):
     recs = [_json.loads(l) for l in open(metrics_path)]
     spikes = [r for r in recs if r.get("loss_spike")]
     assert len(spikes) == 1 and spikes[0]["epoch"] == 1
+
+
+def test_eval_every_schedule(tmp_path):
+    """evaluate_fn runs every Nth epoch and always on the final epoch."""
+    import itertools
+
+    import numpy as np
+
+    from tdnet.train.loop import fit
+
+    class StubState:
+        step = 0
+
+    calls = []
+
+    def stub_step(state, batch):
+        return state, {"loss": 1.0}
+
+    def eval_fn(state):
+        calls.append(1)
+        return {"mAP": 0.5}
+
+    batches = itertools.repeat({"images": np.zeros((1, 4, 4, 3))})
+    fit(StubState(), stub_step, batches, steps_per_epoch=1, epochs=5,
+        log_every=10**9, evaluate_fn=eval_fn, eval_every=2,
+        metrics_path=str(tmp_path / "m.jsonl"))
+    # epochs 1, 3 (every 2nd) + final epoch 4 -> 3 calls
+    assert len(calls) == 3
+
+    calls.clear()
+    fit(StubState(), stub_step, batches, steps_per_epoch=1, epochs=3,
+        log_every=10**9, evaluate_fn=eval_fn,
+        metrics_path=str(tmp_path / "m2.jsonl"))
+    assert len(calls) == 3  # default: every epoch
+
+
+def test_host_rss_metric_present(tmp_path):
+    import itertools
+    import json as _json
+
+    import numpy as np
+
+    from tdnet.train.loop import fit
+
+    class StubState:
+        step = 0
+
+    batches = itertools.repeat({"images": np.zeros((1, 4, 4, 3))})
+    path = str(tmp_path / "m.jsonl")
+    fit(StubState(), lambda s, b: (s, {"loss": 1.0}), batches,
+        steps_per_epoch=1, epochs=1, log_every=10**9, metrics_path=path)
+    recs = [_json.loads(l) for l in open(path)]
+    assert any(r.get("host_rss_mb", 0) > 0 for r in recs)

@@ -20,6 +20,14 @@ evaluate a held-out set (SURVEY.md §1, §4.1; upstream bin/train.py +
 bin/evaluate.py).  Target: val mAP >= 0.9 (synthetic pages are easy;
 lower means a target-assignment or augmentation bug).
 
+Epoch budget note (round-4 finding, tools/probe_leak.py): the axon
+tunnel client leaks ~the transfer size in host RSS per host->device
+transfer — at 800x1344 f32 batch 8 that is ~1.5 GB/epoch, so a 150-epoch
+run OOMs a 125 GB host around epoch 80. The default recipe (64 epochs,
+--eval-every 2) peaks ~95 GB and is well past convergence (held-out val
+mAP crossed 0.9 at ~epoch 43 and held 0.99+ from 50 in the first run's
+committed trajectory).
+
 Run:  JAX_COMPILATION_CACHE_DIR=/tmp/tdnet_jax_cache \
       python tools/generalization_run.py --workdir /tmp/tdnet_gen
 """
@@ -43,7 +51,8 @@ def main() -> int:
     p.add_argument("--workdir", default="/tmp/tdnet_gen")
     p.add_argument("--train-pages", type=int, default=96)
     p.add_argument("--val-pages", type=int, default=24)
-    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--epochs", type=int, default=64)
+    p.add_argument("--eval-every", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--min-side", type=int, default=800)
@@ -83,6 +92,7 @@ def main() -> int:
         "--model-path", os.path.join(args.workdir, "model.tdn"),
         "--metrics-path", metrics, "--log-every", "12",
         "--evaluation", "--eval-batch-size", "8",
+        "--eval-every", str(args.eval_every),
         "csv", f"{train}/annotations.csv", f"{train}/classes.csv",
         "--val-annotations", f"{val}/annotations.csv",
     ])

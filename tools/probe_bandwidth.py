@@ -44,13 +44,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timed(fn, *args, reps: int = 5) -> float:
-    import jax
+    """Time with a dependent-scalar readback barrier.
 
-    jax.block_until_ready(fn(*args))  # compile + warm
+    On the axon tunnel `block_until_ready` is NOT a completion barrier
+    (tools/_timing.py methodology note — a first draft of this probe
+    used it and measured petabytes/sec). Each sample therefore fetches
+    jnp.sum of the output, which forces execution; the sum adds one read
+    of the output (accounted in callers' byte models where it is not
+    negligible) plus the tunnel round-trip (reported separately as
+    `fetch_rtt`)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(jnp.sum(leaf.astype(jnp.float32)))
+
+    fetch(fn(*args))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        fetch(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -70,6 +84,12 @@ def main() -> int:
     print(f"device: {dev.device_kind} ({dev.platform})")
     K = args.iters
     results = []
+
+    # tunnel round-trip of the barrier fetch itself: the floor every
+    # sample pays; small-footprint rows are RTT-bound, not HBM-bound
+    tiny = jnp.ones((8, 128), jnp.float32)
+    rtt = _timed(lambda t: t * 2.0, tiny)
+    print(f"fetch RTT (dispatch + scalar readback): {rtt * 1e3:.2f} ms")
 
     def record(name, size_mb, dtype, bytes_moved, seconds, note=""):
         gbs = bytes_moved / seconds / 1e9
@@ -92,8 +112,10 @@ def main() -> int:
         def scale_scan(y, cs):
             return jax.lax.scan(lambda y, c: (y * c, None), y, cs)[0]
 
+        # byte models: +nbytes everywhere for the barrier's sum read
         t = _timed(scale_scan, x32, cs32)
-        record("scale f32 (scan)", size_mb, "float32", K * 2 * nbytes, t)
+        record("scale f32 (scan)", size_mb, "float32",
+               K * 2 * nbytes + nbytes, t)
 
         # ---- single dispatch of the same op: exposes per-call overhead
         @jax.jit
@@ -101,8 +123,8 @@ def main() -> int:
             return y * c
 
         t1 = _timed(scale_once, x32, cs32[0])
-        record("scale f32 (1 dispatch)", size_mb, "float32", 2 * nbytes, t1,
-               note=f"dispatch overhead ~{max(0.0, t1 - t / K) * 1e6:.0f} us")
+        record("scale f32 (1 dispatch)", size_mb, "float32", 3 * nbytes, t1,
+               note=f"per-call overhead ~{max(0.0, t1 - t / K) * 1e3:.2f} ms")
 
         # ---- read-only nonlinear reduce: K x read N (abs(x-c) defeats
         # algebraic hoisting; the carry is the running scalar sum)
@@ -129,14 +151,14 @@ def main() -> int:
         sq_bytes = n_sq * n_sq * 4
         t = _timed(transpose_scan, xsq, cs32)
         record("transpose f32 (scan)", round(sq_bytes / 2 ** 20), "float32",
-               K * 2 * sq_bytes, t, note=f"{n_sq}x{n_sq}")
+               K * 2 * sq_bytes + sq_bytes, t, note=f"{n_sq}x{n_sq}")
 
         # ---- bf16 scale: same elementwise loop at half the bytes/elem
         xb = x32.astype(jnp.bfloat16)
         csb = cs32.astype(jnp.bfloat16)
         t = _timed(scale_scan, xb, csb)
         record("scale bf16 (scan)", size_mb // 2, "bfloat16",
-               K * nbytes, t)
+               K * nbytes + nbytes // 2, t)
 
         # ---- uint8 elementwise add (the ingest dtype): K x (read+write)
         xu = jnp.asarray(np.random.RandomState(2).randint(
@@ -149,7 +171,7 @@ def main() -> int:
 
         t = _timed(add_scan_u8, xu, csu)
         record("add uint8 (scan)", size_mb // 4, "uint8",
-               K * 2 * (nbytes // 4), t)
+               K * 2 * (nbytes // 4) + nbytes // 4, t)
 
         # ---- Pallas block copy: read+write through VMEM, no XLA fusion
         try:
@@ -182,7 +204,7 @@ def main() -> int:
             # y*c then copy: read N + write N (fused scale) + read N +
             # write N (kernel) = 4N per iteration
             record("pallas copy+scale f32 (scan)", size_mb, "float32",
-                   K * 4 * nbytes, t)
+                   K * 4 * nbytes + nbytes, t)
         except Exception as exc:
             print(f"pallas copy skipped: {type(exc).__name__}: {exc}")
 
