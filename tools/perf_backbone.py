@@ -67,13 +67,14 @@ def main() -> int:
         fn = jax.jit(model.apply)
         s = fn(variables, images)
         float(jax.device_get(s))
+        inner = int(os.environ.get("BENCH_INNER", "32"))
         times = []
         for _ in range(6):
             t0 = time.perf_counter()
-            for _ in range(4):
+            for _ in range(inner):
                 s = fn(variables, images)
             float(jax.device_get(s))
-            times.append((time.perf_counter() - t0) / 4)
+            times.append((time.perf_counter() - t0) / inner)
         return float(np.median(times)) * 1000
 
     prev = 0.0
