@@ -316,7 +316,16 @@ def build_server(predictor, host: str = "127.0.0.1", port: int = 0,
 
     batcher = MicroBatcher(predictor, max_batch=max_batch,
                            max_delay_ms=max_delay_ms)
-    httpd = ThreadingHTTPServer((host, port), _Handler)
+
+    class _Server(ThreadingHTTPServer):
+        # the whole point of the micro-batcher is >max_batch concurrent
+        # clients; the BaseServer default backlog of 5 makes the kernel
+        # RST connection bursts before accept() ever sees them (measured
+        # by tools/bench_serve.py at 64 clients)
+        request_queue_size = 128
+        daemon_threads = True
+
+    httpd = _Server((host, port), _Handler)
     httpd.batcher = batcher
     httpd.label_names = label_names
     httpd.default_threshold = default_threshold

@@ -87,14 +87,20 @@ def main() -> int:
         thread.start()
         base = f"http://127.0.0.1:{httpd.server_address[1]}"
 
-        def post(img):
+        def post(img, retries: int = 2):
             buf = io.BytesIO()
             np.save(buf, img)
             req = urllib.request.Request(
                 base + "/v1/detect", data=buf.getvalue(),
                 headers={"Content-Type": "application/x-npy"})
-            with urllib.request.urlopen(req, timeout=600) as r:
-                return json.loads(r.read())
+            for attempt in range(retries + 1):
+                try:
+                    with urllib.request.urlopen(req, timeout=600) as r:
+                        return json.loads(r.read())
+                except urllib.error.URLError:
+                    if attempt == retries:
+                        raise
+                    time.sleep(0.2 * (attempt + 1))
 
         # warm: compile every sub-batch size the run will see
         post(pages[0])
