@@ -30,15 +30,24 @@ def main() -> int:
     rng = np.random.RandomState(0)
 
     def timeit(fn, *args):
-        s = fn(*args)
-        jax.device_get(jax.tree_util.tree_leaves(s)[0])
+        # scalar barrier fetch + BENCH_INNER chaining: the old form
+        # device_get'd the FULL output tensor per sample (hundreds of ms
+        # of ~1.7 GB/s tunnel transfer amortized over inner=4) — see the
+        # round-4 timing correction (tools/_timing.py, PERF.md)
+        inner = int(os.environ.get("BENCH_INNER", "32"))
+
+        def fetch(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            jax.device_get(jnp.sum(leaf.astype(jnp.float32)))
+
+        fetch(fn(*args))
         ts = []
         for _ in range(8):
             t0 = time.perf_counter()
-            for _ in range(4):
+            for _ in range(inner):
                 s = fn(*args)
-            jax.device_get(jax.tree_util.tree_leaves(s)[0])
-            ts.append((time.perf_counter() - t0) / 4)
+            fetch(s)
+            ts.append((time.perf_counter() - t0) / inner)
         return float(np.median(ts)) * 1000
 
     for name, h, w_, k, n in shapes:
