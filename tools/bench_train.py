@@ -72,7 +72,7 @@ def main() -> int:
     jax.device_get(metrics["loss"])
 
     times = []
-    inner = 3
+    inner = int(os.environ.get('BENCH_INNER', '16'))  # round-4: +RTT/inner bias, see tools/_timing.py
     for _ in range(iters):
         t0 = time.perf_counter()
         for _ in range(inner):
