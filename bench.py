@@ -166,7 +166,9 @@ def main() -> int:
 
     # chain several dispatches per timed sample and fetch once, so the
     # tunnel round-trip amortizes instead of being counted per step
-    inner = int(os.environ.get("BENCH_INNER", "4"))
+    # round-4 timing study: the fetch barrier costs ~33 ms RTT, so the
+    # reported step carries +RTT/inner; 8 keeps the bias under ~1%
+    inner = int(os.environ.get("BENCH_INNER", "8"))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
