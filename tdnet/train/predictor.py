@@ -91,6 +91,16 @@ class Predictor:
         # at dispatch and the predictor permanently switches to the
         # flat-normalize path (surfaced in tdnet-serve /stats)
         self.fused_stem_fallback = None
+        # cumulative host-prep vs device-dispatch seconds (tdnet-serve
+        # /stats reads these to make the host/device split observable —
+        # the serve bench measured the 1-core host as the bottleneck and
+        # this is the counter that proves/refutes it per deployment).
+        # "dispatch" = jitted call + result fetch (the fetch is the
+        # device+transfer barrier; the enqueue itself is async).
+        self.host_prep_s = 0.0
+        self.dispatch_s = 0.0
+        self.dispatch_count = 0
+        self.dispatch_images = 0
         self._stem_model = model.clone(stem_input=True) if fused_stem else None
         self.det_kwargs = dict(
             score_threshold=score_threshold,
@@ -217,6 +227,9 @@ class Predictor:
         shape bucket (the batched replacement for the reference's per-image
         predict_on_batch loop, SURVEY.md §4.3). Returns a list of
         (boxes, scores, labels) aligned with the input order."""
+        import time as _time
+
+        t0 = _time.monotonic()
         prepped = [self._prepare(img) for img in images_bgr]
         groups: dict = {}
         for i, (_, _, bucket) in enumerate(prepped):
@@ -246,6 +259,8 @@ class Predictor:
                 # flat rows for the normalize kernel (falls back to packed
                 # rows on odd buckets); see pack_uint8_host for the trap
                 stack = pack_uint8_host(stack, flat=True)
+            t_disp = _time.monotonic()
+            self.host_prep_s += t_disp - t0
             try:
                 det = self._pipeline(bucket)(self.variables, jnp.asarray(stack))
             except Exception as exc:
@@ -281,6 +296,10 @@ class Predictor:
             boxes = np.asarray(det.boxes, np.float64)
             scores = np.asarray(det.scores, np.float64)
             labels = np.asarray(det.labels, np.int64)
+            t0 = _time.monotonic()  # next group's prep (and the rescale
+            self.dispatch_s += t0 - t_disp  # tail) counts as host time
+            self.dispatch_count += 1
+            self.dispatch_images += len(idxs)
             for j, i in enumerate(idxs):
                 b, s, l = boxes[j], scores[j], labels[j]
                 b[s > -1] /= prepped[i][1]  # host-side rescale (reference §4.2)

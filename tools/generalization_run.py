@@ -58,6 +58,12 @@ def main() -> int:
     p.add_argument("--min-side", type=int, default=800)
     p.add_argument("--max-side", type=int, default=1344)
     p.add_argument("--out", default="artifacts/generalization_r4")
+    p.add_argument("--device-normalize", action="store_true",
+                   help="run the PERFORMANCE-default ingest path (packed "
+                        "uint8 canvases + fused Pallas stem, "
+                        "TDNET_STEM_BWD=kernel) — the round-5 arm proving "
+                        "the fast path reaches the same held-out val mAP "
+                        "as the f32 arm (round-4 verdict item 2)")
     args = p.parse_args()
 
     from examples.table_detection_demo import make_varied_dataset
@@ -88,6 +94,7 @@ def main() -> int:
         "--image-min-side", str(args.min_side),
         "--image-max-side", str(args.max_side),
         "--random-transform",
+        *(["--device-normalize"] if args.device_normalize else []),
         "--no-snapshots",
         "--model-path", os.path.join(args.workdir, "model.tdn"),
         "--metrics-path", metrics, "--log-every", "12",
@@ -114,10 +121,13 @@ def main() -> int:
     text = buf.getvalue()
     print(text)
     with open(os.path.join(args.out, "final_eval.txt"), "w") as f:
+        ingest = ("packed-uint8 + fused stem (--device-normalize, "
+                  "TDNET_STEM_BWD=kernel)" if args.device_normalize
+                  else "host-normalized f32")
         f.write(f"held-out val set: {args.val_pages} pages "
                 f"(RNG stream 10007; train stream 0, "
                 f"{args.train_pages} pages, --random-transform, "
-                f"{args.min_side}x{args.max_side})\n" + text)
+                f"{args.min_side}x{args.max_side}, ingest: {ingest})\n" + text)
 
     with open(metrics) as f:
         epochs = [json.loads(l) for l in f if "epoch_loss" in l]
