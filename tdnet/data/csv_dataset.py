@@ -151,6 +151,13 @@ class CSVDataset:
     def load_image(self, image_index: int) -> np.ndarray:
         return read_image_bgr(self.image_path(image_index))
 
+    def max_annotations(self) -> int:
+        """Densest image's GT count — the parsed rows are already in
+        memory, so the auto-max_boxes sizing (data/generator.py
+        _auto_max_boxes) never needs an O(N) load_annotations pre-pass
+        for CSV datasets."""
+        return max((len(a) for a in self.image_data.values()), default=0)
+
     def load_annotations(self, image_index: int) -> Dict[str, np.ndarray]:
         """Returns {'labels': (M,), 'bboxes': (M, 4) float64} like the
         reference's load_annotations."""

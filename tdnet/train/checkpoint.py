@@ -65,6 +65,45 @@ class Checkpointer:
             step=restored["step"],
         )
 
+    def has_opt_state(self, step: Optional[int] = None) -> bool:
+        """True if the saved snapshot carries a non-empty opt_state.
+
+        Pipeline-mode snapshots (bin/train.py _MergedShim) store merged
+        variables with opt_state={} — a full restore() into a regular
+        TrainState template would fail on the tree-structure mismatch, so
+        resume paths check this and fall back to restore_weights (the
+        optimizer restarts, loudly)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        meta = self._mgr.item_metadata(step)
+        tree = getattr(meta, "tree", meta)
+        if not hasattr(tree, "get"):
+            # a FRESH manager over an existing directory has no handler
+            # registered yet and returns None metadata — a resume-time
+            # manager is exactly that. Read the step's tree metadata with
+            # a standalone PyTree handler instead. (Round-5 regression
+            # caught by tests/train/test_resume_fidelity_slow.py: the old
+            # `None -> {}` fallthrough silently classified EVERY resume
+            # snapshot as optimizer-less and restarted Adam.)
+            handler = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+            try:
+                meta = handler.metadata(
+                    os.path.join(self.directory, str(step), "default"))
+            finally:
+                handler.close()
+            # StepMetadata -> .item_metadata (TreeMetadata) -> .tree (dict)
+            meta = getattr(meta, "item_metadata", meta)
+            tree = getattr(meta, "tree", meta)
+        if not hasattr(tree, "get"):
+            raise RuntimeError(
+                f"cannot read checkpoint metadata for step {step} under "
+                f"{self.directory}")
+        import jax
+
+        return bool(jax.tree.leaves(tree.get("opt_state", {})))
+
     def restore_weights(self, params_template, batch_stats_template,
                         step: Optional[int] = None):
         """Restore only {params, batch_stats} — lets evaluate/convert load a

@@ -225,3 +225,31 @@ def test_explicit_max_boxes_still_truncates_with_warning():
     with pytest.warns(UserWarning, match="truncating"):
         batch = next(iter(loader))
     assert int(batch["gt_mask"].sum()) == 16
+
+
+def test_skip_epochs_replays_rng_streams():
+    """skip_epochs(n) advances the shuffle AND augmentation streams exactly
+    as n consumed epochs would: a fresh loader skipped to epoch n yields
+    epoch n of an unbroken loader bit-for-bit (the --snapshot resume
+    trajectory-fidelity contract, round-4 verdict item 3)."""
+    shapes = [(100, 200), (120, 200), (100, 200), (90, 180), (100, 200),
+              (110, 200)]
+    cfg = LoaderConfig(batch_size=2, min_side=64, max_side=128,
+                       buckets=[(64, 128)], shuffle=True,
+                       random_transform=True, seed=3,
+                       process_index=0, process_count=1)
+    a = BatchLoader(SyntheticDataset(shapes), cfg)
+    for _ in range(2):
+        for _ in a.epoch():
+            pass
+    third_a = list(a.epoch())
+
+    b = BatchLoader(SyntheticDataset(shapes), cfg)
+    b.skip_epochs(2)
+    third_b = list(b.epoch())
+
+    assert len(third_a) == len(third_b) > 0
+    for ba, bb in zip(third_a, third_b):
+        np.testing.assert_array_equal(ba["indices"], bb["indices"])
+        np.testing.assert_array_equal(ba["images"], bb["images"])
+        np.testing.assert_array_equal(ba["gt_boxes"], bb["gt_boxes"])

