@@ -33,11 +33,53 @@ STAGE_SIZES = {
 }
 
 
+class _ConvKernel(nn.Module):
+    """Declares exactly the param nn.Conv would ({name}/kernel, same shape,
+    same lecun_normal init keyed by the same path) and returns its VALUE —
+    lets the fused-block path below feed raw weights to the Pallas kernel
+    while staying checkpoint-identical to the XLA path."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _BNFolded(nn.Module):
+    """Declares FrozenBatchNorm's exact variables and returns the folded
+    (inv, off) pair (eps 1e-5, keras-resnet parity — models/layers.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32)).value
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32)).value
+        inv = jax.lax.rsqrt(var + 1e-5) * scale
+        return inv, bias - mean * inv
+
+
 class Bottleneck(nn.Module):
     """1x1(/s) -> 3x3 -> 1x1(*4) bottleneck with post-activation residual.
 
     se_ratio > 0 inserts a squeeze-excitation gate before the residual add
-    (SE-ResNet — the reference's senet.py family, models/senet.py)."""
+    (SE-ResNet — the reference's senet.py family, models/senet.py).
+
+    use_block_kernel=True routes stride-1 identity blocks through the
+    fused VMEM-resident Pallas kernel (ops/pallas_block.py) — same
+    variables, same math (f32-accumulated matmuls, intermediates rounded
+    through self.dtype); projection/strided/SE blocks and unsupported
+    shapes stay on the XLA path. Inference-only (the kernel has no VJP)."""
 
     filters: int
     stride: int = 1
@@ -45,6 +87,7 @@ class Bottleneck(nn.Module):
     se_ratio: float = 0.0
     dtype: Any = jnp.float32
     freeze_bn: bool = True
+    use_block_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -55,6 +98,24 @@ class Bottleneck(nn.Module):
         bn = lambda name: FrozenBatchNorm(
             frozen=self.freeze_bn, dtype=self.dtype, name=name
         )
+
+        if (self.use_block_kernel and not self.projection
+                and self.stride == 1 and self.se_ratio == 0
+                and self.freeze_bn and x.ndim == 4
+                and x.shape[-1] == 4 * self.filters):
+            from tdnet.ops.pallas_block import fused_bottleneck, supports_block
+
+            if supports_block(x.shape, self.filters):
+                cin, m = x.shape[-1], self.filters
+                k1 = _ConvKernel((1, 1, cin, m), name="conv1")()
+                k2 = _ConvKernel((3, 3, m, m), name="conv2")()
+                k3 = _ConvKernel((1, 1, m, cin), name="conv3")()
+                i1, o1 = _BNFolded(m, name="bn1")()
+                i2, o2 = _BNFolded(m, name="bn2")()
+                i3, o3 = _BNFolded(cin, name="bn3")()
+                return fused_bottleneck(
+                    x.astype(self.dtype), k1[0, 0], k2, k3[0, 0],
+                    i1, o1, i2, o2, i3, o3)
 
         y = conv(self.filters, 1, self.stride, "conv1")(x)
         y = nn.relu(bn("bn1")(y))
@@ -180,6 +241,9 @@ class ResNet(nn.Module):
     # (B, H/4, W/4, 64) — the fused ingest+stem Pallas kernel
     # (ops/pallas_stem.py) computes them outside the module; conv1/bn1
     # params stay in the tree (unused) so one checkpoint serves both forms
+    block_kernel: bool = False  # identity bottlenecks via the fused
+    # VMEM-resident Pallas block kernel (ops/pallas_block.py) —
+    # inference-only, same variables (see Bottleneck.use_block_kernel)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -203,6 +267,7 @@ class ResNet(nn.Module):
                     se_ratio=self.se_ratio,
                     dtype=self.dtype,
                     freeze_bn=self.freeze_bn,
+                    use_block_kernel=self.block_kernel,
                     name=f"stage{stage + 2}_block{block}",
                 )(x)
             outputs.append(x)

@@ -32,13 +32,14 @@ __all__ = ["RetinaNet", "FPN", "ClassificationSubnet", "RegressionSubnet",
 
 
 def _build_backbone(name: str, dtype, freeze_bn: bool,
-                    stem_input: bool = False) -> nn.Module:
+                    stem_input: bool = False,
+                    block_kernel: bool = False) -> nn.Module:
     """Instantiate a C3/C4/C5 feature extractor by registry name
     (reference: models/__init__.py backbone() dispatch)."""
     if name in STAGE_SIZES:
         return ResNet(stage_sizes=STAGE_SIZES[name], dtype=dtype,
                       freeze_bn=freeze_bn, stem_input=stem_input,
-                      name="backbone")
+                      block_kernel=block_kernel, name="backbone")
     if name.startswith("seresnet") and name[2:] in STAGE_SIZES:
         return ResNet(stage_sizes=STAGE_SIZES[name[2:]], se_ratio=1.0 / 16,
                       dtype=dtype, freeze_bn=freeze_bn,
@@ -227,6 +228,10 @@ class RetinaNet(nn.Module):
     # inference tail upcasts only the K candidates (the f32 cast of a bf16
     # value is exact, so results are bit-identical; saves the ~0.5 GB/step
     # boundary cast at batch 128 plus half the top-k/gather traffic)
+    block_kernel: bool = False  # ResNet identity bottlenecks via the
+    # fused VMEM-resident Pallas kernel (ops/pallas_block.py) — same
+    # variables as block_kernel=False; inference-only (no VJP). Enabled
+    # by the Predictor on TPU ResNets (train/predictor.py).
     activation_sharding: Any = None  # optional NamedSharding pinning NHWC
     # activations (backbone taps + pyramid features) to a mesh, e.g.
     # P('data', 'spatial') for GSPMD spatial partitioning
@@ -236,7 +241,8 @@ class RetinaNet(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         c3, c4, c5 = _build_backbone(
-            self.backbone_name, self.dtype, self.freeze_bn, self.stem_input
+            self.backbone_name, self.dtype, self.freeze_bn, self.stem_input,
+            self.block_kernel,
         )(images)
         return apply_retinanet_tail(
             c3, c4, c5,

@@ -1,0 +1,257 @@
+"""Fused ResNet bottleneck-block Pallas kernel (VMEM-resident residual block).
+
+Replaces the graph segment of one IDENTITY bottleneck block
+    conv1x1 (C -> M) -> BN -> ReLU
+    -> conv3x3 s1 SAME (M -> M) -> BN -> ReLU
+    -> conv1x1 (M -> C) -> BN -> (+residual) -> ReLU
+with ONE kernel in which the two M-channel intermediates never touch HBM.
+
+Why (PERF.md round-4/5 analysis): at batch 32, 800x1344, a stage-2 block's
+XLA lowering round-trips ~4+ GB of HBM per block (input read for conv1 +
+two 64-ch intermediates written AND re-read + output + the residual re-read)
+— ~6-7 ms/block at the measured ~670 GB/s, which is what the 21.8 ms
+stage-2 measurement is made of (it is NOT MXU-bound: the convs are ~1.2
+TFLOP over the stage ≈ 6 ms at peak even with the 64-channel lane-padding
+waste). Keeping t1/t2 in VMEM cuts the traffic to input+output (~2.2
+GB/block): the roofline for the fused block is max(DMA ~3.3 ms, MXU ~3-4
+ms) vs ~7 ms for XLA. This is the Mosaic-native answer to the round-4
+verdict's one open perf item (the earlier per-conv fusion attempt,
+ops/pallas_conv.py, fused too little to beat the emitter: it saved one
+epilogue, not the intermediate round-trips).
+
+Formulation (pixel-major NHWC — no layout change at the kernel boundary):
+- grid (B, H/tm); each step consumes input rows [r0-1, r0+tm] (one halo row
+  each side for the 3x3) and produces output rows [r0, r0+tm).
+- The halo rows arrive via two extra 1-row BlockSpecs on the SAME input
+  array (block index maps i*tm-1 / (i+1)*tm). Pallas clamps out-of-range
+  block offsets, so the first/last grid steps re-read an in-image row
+  there; the kernel masks those to zero (the conv's SAME row padding).
+- conv1: ((tm+2)*W, C) @ (C, M) — one matmul over all window rows.
+- conv2: zero-pad W by 1 (SAME column padding), then build the im2col
+  matrix A (tm*W, 9M) out of the nine (dy, dx)-shifted views of t1 and do
+  ONE matmul A @ W2 (9M, M). K = 9M is dense-packed for the MXU (576 for
+  M=64 vs the 64-wide contractions XLA's emitter tiles at 25-50%
+  utilization at these shapes).
+- conv3 + BN + residual + ReLU fused: (tm*W, M) @ (M, C), add the x rows
+  already resident in VMEM, ReLU, cast, write.
+- Frozen-BN is folded into per-channel (inv, off) pairs by the caller
+  (models/resnet.py uses inference-mode BN throughout, SURVEY.md §8
+  "freeze_bn" parity note).
+
+Used by models/resnet.py for the stride-1 identity blocks of stages 2-5
+when TDNET_BLOCK_KERNEL=1 (inference path; the projection/strided blocks
+stay on XLA). Equivalence vs the XLA block: tests/ops/test_pallas_block.py.
+Reference analog: keras-resnet's bottleneck_2d blocks inside
+keras_retinanet/models/resnet.py (SURVEY.md §2.2 "ResNet backbone").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU compiler knobs (absent on CPU-only wheels)
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+__all__ = ["fused_bottleneck", "supports_block"]
+
+
+def supports_block(x_shape, cmid: int) -> bool:
+    """(B, H, W, C) with W a lane-friendly multiple of 8 and the channel
+    dims MXU-tileable. H must be divisible by some usable tm (resolved at
+    call time); every default bucket qualifies (dims are multiples of 32)."""
+    if len(x_shape) != 4:
+        return False
+    b, h, w, c = x_shape
+    return (
+        h >= 8 and h % 8 == 0 and w % 8 == 0
+        and c % 64 == 0 and cmid % 8 == 0
+    )
+
+
+def _resolve_tm(h: int, tm: int) -> int:
+    """Largest divisor of H at most the requested tm with 8-aligned row
+    offsets (tm % 8 == 0, or a single block): the window row reads sit at
+    i*tm - 1 relative block offsets handled by BlockSpec, but the OUTPUT
+    block offset i*tm must be statically sublane-aligned."""
+    for cand in range(min(tm, h), 0, -1):
+        if h % cand == 0 and (cand % 8 == 0 or cand == h):
+            return cand
+    return h
+
+
+def _make_kernel(tm: int, w: int, cin: int, cmid: int, n_rows: int,
+                 compute_dtype):
+    def kernel(xt_ref, xm_ref, xb_ref, w1_ref, w2_ref, w3_ref,
+               bn1i_ref, bn1o_ref, bn2i_ref, bn2o_ref, bn3i_ref, bn3o_ref,
+               o_ref):
+        i = pl.program_id(1)
+
+        # ---- assemble the (tm+2, W, Cin) input window (the specs clamp
+        # out-of-image halo rows to an in-bounds duplicate; harmless — the
+        # t1 rows computed from them are zero-masked below)
+        top = xt_ref[0, 0]  # (W, Cin)
+        bot = xb_ref[0, 0]
+        xmid = xm_ref[0]  # (tm, W, Cin)
+        xwin = jnp.concatenate([top[None], xmid, bot[None]], axis=0)
+
+        # ---- conv1 (1x1) + BN + ReLU over all tm+2 window rows
+        a1 = xwin.reshape((tm + 2) * w, cin)
+        t1 = jax.lax.dot_general(
+            a1, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # ((tm+2)W, M) f32
+        t1 = jnp.maximum(t1 * bn1i_ref[...] + bn1o_ref[...], 0.0)
+        t1 = t1.astype(compute_dtype).reshape(tm + 2, w, cmid)
+        # conv2's SAME padding zeroes t1 BEYOND the image (not x: a zero x
+        # row would still give t1 = relu(off1) != 0 through BN)
+        zero = jnp.zeros((), t1.dtype)
+        t1 = jnp.concatenate([
+            jnp.where(i == 0, zero, t1[:1]),
+            t1[1:tm + 1],
+            jnp.where(i == n_rows - 1, zero, t1[tm + 1:]),
+        ], axis=0)
+
+        # ---- conv2 (3x3 SAME) as ONE dense matmul over the im2col of the
+        # nine shifted views. Column SAME-padding via a zero-padded copy.
+        t1p = jnp.pad(t1, ((0, 0), (1, 1), (0, 0)))  # (tm+2, W+2, M)
+        pieces = [
+            t1p[dy:dy + tm, dx:dx + w, :].reshape(tm * w, cmid)
+            for dy in range(3) for dx in range(3)
+        ]
+        a2 = jnp.concatenate(pieces, axis=1)  # (tm*W, 9M)
+        t2 = jax.lax.dot_general(
+            a2, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tm*W, M)
+        t2 = jnp.maximum(t2 * bn2i_ref[...] + bn2o_ref[...], 0.0)
+        t2 = t2.astype(compute_dtype)
+
+        # ---- conv3 (1x1) + BN + residual + ReLU
+        t3 = jax.lax.dot_general(
+            t2, w3_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tm*W, Cin)
+        res = xmid.reshape(tm * w, cin).astype(jnp.float32)
+        y = jnp.maximum(t3 * bn3i_ref[...] + bn3o_ref[...] + res, 0.0)
+        o_ref[0] = y.astype(o_ref.dtype).reshape(tm, w, cin)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tm", "interpret", "out_dtype"),
+)
+def fused_bottleneck(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    w3: jnp.ndarray,
+    bn1_inv: jnp.ndarray, bn1_off: jnp.ndarray,
+    bn2_inv: jnp.ndarray, bn2_off: jnp.ndarray,
+    bn3_inv: jnp.ndarray, bn3_off: jnp.ndarray,
+    tm: int = 4,
+    interpret: Optional[bool] = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """One identity bottleneck block, fused.
+
+    x: (B, H, W, C); w1: (C, M); w2: (3, 3, M, M); w3: (M, C);
+    bn*_inv/off: per-channel folded frozen-BN scale/offset (f32).
+    Returns relu(bn3(conv3(relu(bn2(conv2(relu(bn1(conv1(x)))))))) + x)
+    with SAME 3x3 padding — bit-comparable to the XLA lowering at the
+    same compute dtype (matmuls accumulate f32; intermediates round
+    through x.dtype exactly like the XLA conv sequence's tensors).
+    """
+    b, h, w, cin = x.shape
+    cmid = w1.shape[-1]
+    if w1.shape != (cin, cmid) or w2.shape != (3, 3, cmid, cmid) \
+            or w3.shape != (cmid, cin):
+        raise ValueError(
+            f"bad weight shapes {w1.shape}/{w2.shape}/{w3.shape} for "
+            f"x {x.shape}")
+    if not supports_block(x.shape, cmid):
+        raise ValueError(f"unsupported block shape {x.shape} cmid={cmid}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if out_dtype is None:
+        out_dtype = x.dtype
+    compute_dtype = x.dtype
+
+    tm = _resolve_tm(h, tm)
+    n_rows = h // tm
+
+    w2c = w2.reshape(9 * cmid, cmid).astype(compute_dtype)
+    w1c = w1.astype(compute_dtype)
+    w3c = w3.astype(compute_dtype)
+
+    def row(v):  # per-channel params broadcast over (rows, C)
+        return v.astype(jnp.float32).reshape(1, -1)
+
+    cbytes = jnp.dtype(compute_dtype).itemsize
+    work_bytes = (
+        (tm + 2) * w * cin * cbytes * 3        # window + concat copies
+        + (tm + 2) * w * cmid * (4 + cbytes)   # t1 f32 + cast
+        + (tm + 2) * (w + 2) * cmid * cbytes   # t1p
+        + tm * w * 9 * cmid * cbytes           # A
+        + tm * w * cmid * (4 + cbytes)         # t2
+        + tm * w * cin * (4 + 4 + cbytes)      # t3 + residual f32 + cast
+    )
+    io_bytes = 2 * ((tm + 2) * w * cin + tm * w * cin) * cbytes
+    vmem_limit = min(110 * 1024 * 1024, int(1.5 * work_bytes) + io_bytes
+                     + (6 << 20))
+    params = {}
+    if pltpu is not None and not interpret:
+        cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+        params["compiler_params"] = cp(
+            vmem_limit_bytes=int(vmem_limit),
+            dimension_semantics=("parallel", "parallel"),
+        )
+        params["cost_estimate"] = pl.CostEstimate(
+            flops=2 * b * h * w * (cin * cmid * 2 + 9 * cmid * cmid),
+            bytes_accessed=2 * b * h * w * cin * cbytes,
+            transcendentals=0,
+        )
+
+    out = pl.pallas_call(
+        _make_kernel(tm, w, cin, cmid, n_rows, compute_dtype),
+        grid=(b, n_rows),
+        in_specs=[
+            # top halo row (i*tm - 1; explicitly clamped to 0 at i=0 — the
+            # kernel masks it to zero there, it just has to be in-bounds)
+            pl.BlockSpec((1, 1, w, cin),
+                         lambda bi, mi: (bi, jnp.maximum(mi * tm - 1, 0),
+                                         0, 0)),
+            # body rows [i*tm, (i+1)*tm)
+            pl.BlockSpec((1, tm, w, cin), lambda bi, mi: (bi, mi, 0, 0)),
+            # bottom halo row ((i+1)*tm; clamped at the last row, masked)
+            pl.BlockSpec((1, 1, w, cin),
+                         lambda bi, mi: (bi, jnp.minimum((mi + 1) * tm,
+                                                         h - 1), 0, 0)),
+            pl.BlockSpec((cin, cmid), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((9 * cmid, cmid), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((cmid, cin), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((1, cmid), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((1, cmid), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((1, cmid), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((1, cmid), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((1, cin), lambda bi, mi: (0, 0)),
+            pl.BlockSpec((1, cin), lambda bi, mi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tm, w, cin), lambda bi, mi: (bi, mi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cin), out_dtype),
+        interpret=interpret,
+        **params,
+    )(
+        x, x, x, w1c, w2c, w3c,
+        row(bn1_inv), row(bn1_off), row(bn2_inv), row(bn2_off),
+        row(bn3_inv), row(bn3_off),
+    )
+    return out

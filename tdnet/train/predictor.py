@@ -87,6 +87,18 @@ class Predictor:
                 and not getattr(model, "stem_input", False)
             )
         self.fused_stem = fused_stem
+        # fused identity-bottleneck Pallas kernel (ops/pallas_block.py):
+        # inference-only, same variables. Auto on TPU ResNets; opt out
+        # with TDNET_BLOCK_KERNEL=0 (A/B and fallback switch).
+        import os as _os
+
+        if (_os.environ.get("TDNET_BLOCK_KERNEL", "1") != "0"
+                and jax.default_backend() == "tpu"
+                and getattr(model, "backbone_name", "").startswith("resnet")
+                and hasattr(model, "block_kernel")
+                and not getattr(model, "block_kernel", False)):
+            model = model.clone(block_kernel=True)
+            self.model = model
         # set to "<ExcType>: <msg>" if the fused-stem pipeline ever fails
         # at dispatch and the predictor permanently switches to the
         # flat-normalize path (surfaced in tdnet-serve /stats)
