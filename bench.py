@@ -61,8 +61,12 @@ def main() -> int:
 
     # output_dtype=None: heads' native dtype at the boundary; the deferred
     # tail (models/detect.py) upcasts only the K candidates (bit-identical)
+    # BENCH_BLOCK=1: identity bottlenecks via the fused VMEM-resident
+    # Pallas block kernel (ops/pallas_block.py); same variables
+    block_kernel = os.environ.get("BENCH_BLOCK", "0") == "1"
     model = RetinaNet(num_classes=num_classes, backbone_name=backbone,
-                      dtype=dtype, output_dtype=None)
+                      dtype=dtype, output_dtype=None,
+                      block_kernel=block_kernel)
     rng = jax.random.PRNGKey(0)
     init_images = jnp.zeros((1,) + bucket + (3,), jnp.float32)
     variables = jax.jit(model.init)(rng, init_images)
@@ -84,7 +88,7 @@ def main() -> int:
 
         stem_model = _RN(
             num_classes=num_classes, backbone_name=backbone, dtype=dtype,
-            stem_input=True, output_dtype=None,
+            stem_input=True, output_dtype=None, block_kernel=block_kernel,
         )
 
     @jax.jit
@@ -199,6 +203,7 @@ def main() -> int:
             "fused_stem_uint8" if fused_stem
             else ("fused_uint8" if fused else "prenormalized_f32")
         ),
+        "block_kernel": block_kernel,
         "median_step_ms": round(dt * 1000, 2),
         "device": jax.devices()[0].device_kind,
         "checksum": round(checksum, 2),
