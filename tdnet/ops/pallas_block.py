@@ -63,25 +63,32 @@ __all__ = ["fused_bottleneck", "supports_block"]
 
 
 def supports_block(x_shape, cmid: int) -> bool:
-    """(B, H, W, C) with W a lane-friendly multiple of 8 and the channel
-    dims MXU-tileable. H must be divisible by some usable tm (resolved at
-    call time); every default bucket qualifies (dims are multiples of 32)."""
+    """(B, H, W, C) with W a sublane-friendly multiple of 8 and the
+    channel dims MXU-tileable. H can be anything >= 4 (row offsets live on
+    outer dims — any divisor tiles; _resolve_tm picks one). At the product
+    800x1344 bucket this admits stage2 (200x336) and stage3 (100x168);
+    stage4/5 (50x84, 25x42) fail w % 8 — their in-kernel sublane merges
+    would relayout per tile, and their XLA blocks are already small."""
     if len(x_shape) != 4:
         return False
     b, h, w, c = x_shape
     return (
-        h >= 8 and h % 8 == 0 and w % 8 == 0
+        h >= 4 and w >= 16 and w % 8 == 0
         and c % 64 == 0 and cmid % 8 == 0
     )
 
 
 def _resolve_tm(h: int, tm: int) -> int:
-    """Largest divisor of H at most the requested tm with 8-aligned row
-    offsets (tm % 8 == 0, or a single block): the window row reads sit at
-    i*tm - 1 relative block offsets handled by BlockSpec, but the OUTPUT
-    block offset i*tm must be statically sublane-aligned."""
+    """Largest divisor of H at most the requested tm.
+
+    Row offsets here live on OUTER array dims (H of an NHWC block — the
+    tiled dims are (W, C)), so unlike the stem kernel no 8-sublane
+    alignment constraint applies; any divisor compiles. (The round-5 first
+    cut required tm % 8 == 0 and silently fell back to tm == H when the
+    requested tm wasn't — a whole-image 34 MB VMEM window that took the
+    Mosaic compiler down with an opaque tunnel HTTP 500.)"""
     for cand in range(min(tm, h), 0, -1):
-        if h % cand == 0 and (cand % 8 == 0 or cand == h):
+        if h % cand == 0:
             return cand
     return h
 
