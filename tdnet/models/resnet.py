@@ -69,6 +69,26 @@ class _BNFolded(nn.Module):
         return inv, bias - mean * inv
 
 
+class _BlockParams(nn.Module):
+    """One identity block's raw weights for the fused chain kernel —
+    declares the exact variable tree a Bottleneck would (conv1/2/3 +
+    bn1/2/3) under the same name and returns the values the kernel wants:
+    (w1 (C,M), w2 (3,3,M,M), w3 (M,C), bn inv/off pairs)."""
+
+    cin: int
+    cmid: int
+
+    @nn.compact
+    def __call__(self):
+        k1 = _ConvKernel((1, 1, self.cin, self.cmid), name="conv1")()
+        k2 = _ConvKernel((3, 3, self.cmid, self.cmid), name="conv2")()
+        k3 = _ConvKernel((1, 1, self.cmid, self.cin), name="conv3")()
+        i1, o1 = _BNFolded(self.cmid, name="bn1")()
+        i2, o2 = _BNFolded(self.cmid, name="bn2")()
+        i3, o3 = _BNFolded(self.cin, name="bn3")()
+        return (k1[0, 0], k2, k3[0, 0], i1, o1, i2, o2, i3, o3)
+
+
 class Bottleneck(nn.Module):
     """1x1(/s) -> 3x3 -> 1x1(*4) bottleneck with post-activation residual.
 
@@ -259,19 +279,54 @@ class ResNet(nn.Module):
         filters = 64
         for stage, num_blocks in enumerate(self.stage_sizes):
             stride = 1 if stage == 0 else 2
-            for block in range(num_blocks):
+            x = Bottleneck(
+                filters=filters,
+                stride=stride,
+                projection=True,
+                se_ratio=self.se_ratio,
+                dtype=self.dtype,
+                freeze_bn=self.freeze_bn,
+                name=f"stage{stage + 2}_block0",
+            )(x)
+            # the stage's identity run: one fused chain kernel when
+            # enabled/supported (all inter-block activations stay in
+            # VMEM — ops/pallas_block.py), else per-block XLA
+            x = self._identity_run(x, stage, num_blocks - 1, filters)
+            outputs.append(x)
+            filters *= 2
+
+        c3, c4, c5 = outputs[1], outputs[2], outputs[3]
+        return c3, c4, c5
+
+    def _identity_run(self, x, stage: int, n: int, filters: int):
+        if n <= 0:
+            return x
+        fuse = (self.block_kernel and self.se_ratio == 0 and self.freeze_bn
+                and x.ndim == 4 and x.shape[-1] == 4 * filters)
+        if fuse:
+            from tdnet.ops.pallas_block import (fused_bottleneck_chain,
+                                                supports_block)
+
+            fuse = supports_block(x.shape, filters)
+        if not fuse:
+            for block in range(1, n + 1):
                 x = Bottleneck(
                     filters=filters,
-                    stride=stride if block == 0 else 1,
-                    projection=block == 0,
+                    stride=1,
+                    projection=False,
                     se_ratio=self.se_ratio,
                     dtype=self.dtype,
                     freeze_bn=self.freeze_bn,
                     use_block_kernel=self.block_kernel,
                     name=f"stage{stage + 2}_block{block}",
                 )(x)
-            outputs.append(x)
-            filters *= 2
-
-        c3, c4, c5 = outputs[1], outputs[2], outputs[3]
-        return c3, c4, c5
+            return x
+        raw = [
+            _BlockParams(cin=x.shape[-1], cmid=filters,
+                         name=f"stage{stage + 2}_block{block}")()
+            for block in range(1, n + 1)
+        ]
+        stack = lambda j: jnp.stack([r[j] for r in raw])
+        return fused_bottleneck_chain(
+            x.astype(self.dtype), stack(0), stack(1), stack(2),
+            stack(3), stack(4), stack(5), stack(6), stack(7), stack(8))

@@ -121,3 +121,34 @@ def test_model_block_kernel_equivalence():
         np.testing.assert_allclose(
             np.asarray(out_base[k]), np.asarray(out_fused[k]),
             rtol=2e-4, atol=2e-4)
+
+
+def test_fused_chain_matches_xla_stack():
+    """A depth-D chain equals D stacked XLA blocks (the whole identity run
+    of a stage in ONE kernel — inter-block activations never leave VMEM)."""
+    from tdnet.ops.pallas_block import fused_bottleneck_chain
+
+    rng = np.random.default_rng(3)
+    for depth, h, tm in [(2, 16, 8), (3, 20, 4), (3, 12, 12)]:
+        b, w_, c, m = 2, 24, 64, 8
+        x, _, _, _, _ = _setup(rng, b, h, w_, c, m, jnp.float32)
+        blocks = []
+        ref = x
+        for _ in range(depth):
+            _, w1, w2, w3, p = _setup(rng, 1, 8, 8, c, m, jnp.float32)
+            blocks.append((w1, w2, w3, p))
+            ref = xla_block(ref, w1, w2, w3, p)
+        got = fused_bottleneck_chain(
+            x,
+            jnp.stack([bl[0] for bl in blocks]),
+            jnp.stack([bl[1] for bl in blocks]),
+            jnp.stack([bl[2] for bl in blocks]),
+            jnp.stack([bl[3]["i1"] for bl in blocks]),
+            jnp.stack([bl[3]["o1"] for bl in blocks]),
+            jnp.stack([bl[3]["i2"] for bl in blocks]),
+            jnp.stack([bl[3]["o2"] for bl in blocks]),
+            jnp.stack([bl[3]["i3"] for bl in blocks]),
+            jnp.stack([bl[3]["o3"] for bl in blocks]),
+            tm=tm)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)

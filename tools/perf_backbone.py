@@ -52,6 +52,8 @@ def main() -> int:
                         stride=stride if block == 0 else 1,
                         projection=block == 0,
                         dtype=dtype,
+                        use_block_kernel=os.environ.get(
+                            "BENCH_BLOCK", "0") == "1",
                         name=f"stage{stage + 2}_block{block}",
                     )(x)
                 filters *= 2
