@@ -88,11 +88,13 @@ class Predictor:
             )
         self.fused_stem = fused_stem
         # fused identity-bottleneck Pallas kernel (ops/pallas_block.py):
-        # inference-only, same variables. Auto on TPU ResNets; opt out
-        # with TDNET_BLOCK_KERNEL=0 (A/B and fallback switch).
+        # inference-only, same variables. Measured composition-NEUTRAL
+        # end-to-end (2x faster isolated, ~0 in-graph — XLA's scheduler
+        # already hides the per-block emitter losses; PERF.md round 5),
+        # so the default is OFF; TDNET_BLOCK_KERNEL=1 opts in for A/B.
         import os as _os
 
-        if (_os.environ.get("TDNET_BLOCK_KERNEL", "1") != "0"
+        if (_os.environ.get("TDNET_BLOCK_KERNEL", "0") == "1"
                 and jax.default_backend() == "tpu"
                 and getattr(model, "backbone_name", "").startswith("resnet")
                 and hasattr(model, "block_kernel")
