@@ -44,7 +44,7 @@ def _page(rng, h=800, w=1200):
         x2, y2 = x1 + int(rng.randint(150, 400)), y1 + int(rng.randint(100, 300))
         img[y1:y2:14, x1:x2] = 90
         img[y1:y2, x1:x2:24] = 90
-    return img.astype(np.float32)
+    return img
 
 
 def main() -> int:
@@ -55,6 +55,11 @@ def main() -> int:
                    help="requests per client thread (steady-state window)")
     p.add_argument("--max-delay-ms", type=float, default=5.0)
     p.add_argument("--out", default="artifacts/bench_serve.json")
+    p.add_argument("--f32-body", action="store_true",
+                   help="send float32 npy bodies (the pre-round-5 client "
+                        "behavior: 4x the bytes AND a server-side f32 round "
+                        "trip under --device-normalize); default sends "
+                        "uint8, which the round-5 server keeps end-to-end")
     args = p.parse_args()
 
     import jax
@@ -73,6 +78,8 @@ def main() -> int:
 
     rng = np.random.RandomState(0)
     pages = [_page(rng) for _ in range(8)]
+    if args.f32_body:
+        pages = [p_.astype(np.float32) for p_ in pages]
     results = []
     for mb in args.max_batch:
         predictor = Predictor(
@@ -135,7 +142,7 @@ def main() -> int:
         for t in threads:
             t.join()
         dt = time.perf_counter() - t0
-        stats = batcher.stats()
+        stats = batcher.stats()  # includes the host/device split ("device")
         httpd.shutdown()
         batcher.close()
         assert not errs, errs[:3]
@@ -147,6 +154,8 @@ def main() -> int:
             "mean_batch_size": stats["mean_batch_size"],
             "latency_ms": stats["latency_ms"],
             "fused_stem": stats["fused_stem"],
+            "body": "f32" if args.f32_body else "uint8",
+            "device": stats["device"],
         }
         results.append(row)
         print(json.dumps(row))
@@ -154,7 +163,9 @@ def main() -> int:
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({"backend": jax.default_backend(),
-                   "clients": args.clients, "results": results}, f, indent=1)
+                   "clients": args.clients,
+                   "body": "f32" if args.f32_body else "uint8",
+                   "results": results}, f, indent=1)
     print(f"-> {args.out}")
     return 0
 
