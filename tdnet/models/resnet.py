@@ -326,7 +326,16 @@ class ResNet(nn.Module):
                          name=f"stage{stage + 2}_block{block}")()
             for block in range(1, n + 1)
         ]
-        stack = lambda j: jnp.stack([r[j] for r in raw])
-        return fused_bottleneck_chain(
-            x.astype(self.dtype), stack(0), stack(1), stack(2),
-            stack(3), stack(4), stack(5), stack(6), stack(7), stack(8))
+        # chunk long runs (ResNet-101's stage4 has 22 identity blocks —
+        # a single chain would put ~26 MB of stacked weights in VMEM);
+        # each chunk's weights + window must fit alongside the im2col
+        import os as _os
+
+        max_depth = max(1, int(_os.environ.get("TDNET_CHAIN_DEPTH", "3")))
+        for start in range(0, len(raw), max_depth):
+            chunk = raw[start:start + max_depth]
+            stack = lambda j, c=chunk: jnp.stack([r[j] for r in c])
+            x = fused_bottleneck_chain(
+                x.astype(self.dtype), stack(0), stack(1), stack(2),
+                stack(3), stack(4), stack(5), stack(6), stack(7), stack(8))
+        return x
